@@ -1,0 +1,147 @@
+"""Depth-hypothesis schedulers for the coarse-to-fine cascade.
+
+Pure JAX ports of the reference's samplers (models/module.py:674-741),
+vectorized with static shapes so every stage compiles once per resolution
+bucket. All math in fp32.
+
+Stage 1 seeds hypotheses from the scene depth range; stages 2..4 re-center a
+narrower band around the previous stage's depth (in inverse-depth space for
+the flagship config, `inverse_depth: true`).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .resize import resize_hw_axes
+
+Array = jax.Array
+
+
+def _itv(ndepths: int) -> Array:
+    """[D] fractions 0 .. 1 inclusive."""
+    return jnp.arange(ndepths, dtype=jnp.float32) / (ndepths - 1)
+
+
+def init_range(cur_depth: Array, ndepths: int, height: int, width: int) -> Array:
+    """Uniform-in-depth init. cur_depth [B, Dfull] -> [B, D, H, W].
+
+    Reference models/module.py:674-689 (2-D branch; the reference's 4-D branch
+    is unused by the shipped models).
+    """
+    cur_depth = cur_depth.astype(jnp.float32)
+    dmin = cur_depth[:, 0]
+    dmax = cur_depth[:, -1]
+    step = (dmax - dmin) / (ndepths - 1)
+    samples = dmin[:, None] + jnp.arange(ndepths, dtype=jnp.float32)[None] * step[:, None]
+    return jnp.broadcast_to(
+        samples[:, :, None, None], (cur_depth.shape[0], ndepths, height, width)
+    )
+
+
+def init_inverse_range(cur_depth: Array, ndepths: int, height: int, width: int) -> Array:
+    """Uniform-in-inverse-depth init. cur_depth [B, Dfull] -> [B, D, H, W].
+
+    Reference models/module.py:692-704: hypotheses run from 1/d_max to
+    1/d_min, i.e. depth DESCENDS along the D axis (losses flip it back).
+    """
+    cur_depth = cur_depth.astype(jnp.float32)
+    inv_min = 1.0 / cur_depth[:, 0]
+    inv_max = 1.0 / cur_depth[:, -1]
+    itv = _itv(ndepths)
+    inv = inv_max[:, None] + (inv_min - inv_max)[:, None] * itv[None]
+    depth = 1.0 / inv
+    return jnp.broadcast_to(
+        depth[:, :, None, None], (cur_depth.shape[0], ndepths, height, width)
+    )
+
+
+def schedule_inverse_range(
+    depth: Array,
+    depth_hypo: Array,
+    ndepths: int,
+    split_itv: float,
+    height: int,
+    width: int,
+) -> Array:
+    """Re-center an inverse-depth band around the previous stage's depth.
+
+    Args:
+      depth: [B, h, w] previous-stage depth (h = height//2, w = width//2).
+      depth_hypo: [B, Dprev, h, w] previous-stage hypotheses (used only for
+        the local inverse-depth interval).
+      split_itv: depth_interals_ratio for this stage.
+
+    Returns [B, D, H, W]: band of ±split_itv·itv_prev in inverse depth around
+    1/depth, upsampled spatially ×2 (trilinear align_corners=True over a
+    same-size D axis degenerates to per-slice bilinear — reference
+    models/module.py:707-724).
+    """
+    depth = depth.astype(jnp.float32)
+    depth_hypo = depth_hypo.astype(jnp.float32)
+    last_itv = 1.0 / depth_hypo[:, 2] - 1.0 / depth_hypo[:, 1]  # [B, h, w]
+    inv_min = 1.0 / depth + split_itv * last_itv
+    inv_max = 1.0 / depth - split_itv * last_itv
+    itv = _itv(ndepths)
+    inv = inv_max[:, None] + (inv_min - inv_max)[:, None] * itv[None, :, None, None]
+    inv = resize_hw_axes(inv, height, width, h_axis=-2, w_axis=-1,
+                         method="linear", align_corners=True)
+    return 1.0 / inv
+
+
+def schedule_range(
+    cur_depth: Array,
+    ndepths: int,
+    depth_interval_pixel: Array,
+    height: int,
+    width: int,
+) -> Array:
+    """Metric-depth re-centering: ±(D/2)·interval around cur_depth.
+
+    cur_depth [B, h, w]; depth_interval_pixel [B] or [B, h, w].
+    Reference models/module.py:727-741.
+    """
+    cur_depth = cur_depth.astype(jnp.float32)
+    if depth_interval_pixel.ndim == 1:
+        depth_interval_pixel = depth_interval_pixel[:, None, None]
+    dmin = jnp.maximum(cur_depth - ndepths / 2 * depth_interval_pixel, 0.001)
+    dmax = cur_depth + ndepths / 2 * depth_interval_pixel
+    step = (dmax - dmin) / (ndepths - 1)
+    samples = dmin[:, None] + jnp.arange(ndepths, dtype=jnp.float32)[None, :, None, None] * step[:, None]
+    return resize_hw_axes(samples, height, width, h_axis=-2, w_axis=-1,
+                          method="linear", align_corners=True)
+
+
+def depth_regression(prob: Array, depth_values: Array) -> Array:
+    """Soft-argmax depth: sum_d p(d) · depth(d).
+
+    prob: [B, D, H, W]; depth_values: [B, D] or [B, D, H, W].
+    Reference models/module.py:649-655.
+    """
+    if depth_values.ndim == 2:
+        depth_values = depth_values[:, :, None, None]
+    return jnp.sum(prob * depth_values, axis=1)
+
+
+def conf_regression(prob: Array, n: int = 4) -> Array:
+    """Confidence = prob mass in an n-bin window around the soft-argmax bin.
+
+    prob: [B, D, H, W] -> [B, H, W]. Reference models/module.py:658-671:
+    a size-n sliding-sum over D (asymmetric zero pad for even n), gathered at
+    the rounded soft-argmax index.
+    """
+    b, d, h, w = prob.shape
+    prob = jax.lax.stop_gradient(prob.astype(jnp.float32))
+    if n % 2 == 1:
+        pad = (n // 2, n // 2)
+    else:
+        pad = (n // 2 - 1, n // 2)
+    padded = jnp.pad(prob, ((0, 0), pad, (0, 0), (0, 0)))
+    # sliding window sum over D via cumulative sum: windows [i, i+n)
+    csum = jnp.concatenate(
+        [jnp.zeros_like(padded[:, :1]), jnp.cumsum(padded, axis=1)], axis=1
+    )
+    win = csum[:, n:] - csum[:, :-n]  # [B, D, H, W]
+    idx = depth_regression(prob, jnp.broadcast_to(jnp.arange(d, dtype=jnp.float32)[None], (b, d)))
+    idx = jnp.clip(idx.astype(jnp.int32), 0, d - 1)  # [B, H, W]
+    return jnp.take_along_axis(win, idx[:, None], axis=1)[:, 0]

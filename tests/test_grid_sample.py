@@ -1,0 +1,149 @@
+"""Golden tests: bilinear gather + plane-sweep warp vs torch grid_sample and
+the reference warp math re-expressed in torch."""
+import numpy as np
+import torch
+import torch.nn.functional as TF
+
+from mvsformerplusplus_tpu.ops import (
+    bilinear_sample,
+    compose_projection,
+    homography_warp,
+    init_inverse_range,
+)
+
+
+def torch_homo_warp(src_fea, src_proj, ref_proj, depth_values):
+    """Reference homo_warping_3D_with_mask (models/warping.py:69-109) in torch,
+    used purely as a test oracle."""
+    batch, channels = src_fea.shape[0], src_fea.shape[1]
+    num_depth = depth_values.shape[1]
+    height, width = src_fea.shape[2], src_fea.shape[3]
+    proj = torch.matmul(src_proj, torch.inverse(ref_proj))
+    rot = proj[:, :3, :3]
+    trans = proj[:, :3, 3:4]
+    y, x = torch.meshgrid(
+        [torch.arange(0, height, dtype=torch.float32), torch.arange(0, width, dtype=torch.float32)],
+        indexing="ij",
+    )
+    y, x = y.reshape(-1), x.reshape(-1)
+    xyz = torch.stack((x, y, torch.ones_like(x)))
+    xyz = xyz.unsqueeze(0).repeat(batch, 1, 1)
+    rot_xyz = torch.matmul(rot, xyz)
+    rot_depth_xyz = rot_xyz.unsqueeze(2).repeat(1, 1, num_depth, 1) * depth_values.view(
+        batch, 1, num_depth, -1
+    )
+    proj_xyz = rot_depth_xyz + trans.view(batch, 3, 1, 1)
+    proj_xy = proj_xyz[:, :2] / (proj_xyz[:, 2:3] + 1e-6)
+    proj_x_norm = proj_xy[:, 0] / ((width - 1) / 2) - 1
+    proj_y_norm = proj_xy[:, 1] / ((height - 1) / 2) - 1
+    grid = torch.stack((proj_x_norm, proj_y_norm), dim=3)
+    x_mask = (proj_x_norm > 1) | (proj_x_norm < -1)
+    y_mask = (proj_y_norm > 1) | (proj_y_norm < -1)
+    mask = (x_mask | y_mask).view(batch, num_depth, height, width)
+    z = proj_xyz[:, 2:3].view(batch, num_depth, height, width)
+    mask = mask | (z <= 0)
+    warped = TF.grid_sample(
+        src_fea,
+        grid.view(batch, num_depth * height, width, 2),
+        mode="bilinear",
+        padding_mode="zeros",
+        align_corners=True,
+    ).view(batch, channels, num_depth, height, width)
+    return warped, mask
+
+
+def rand_camera(rng, height, width, angle=0.12, tx=0.4):
+    """A plausible K, E pair looking at the unit-ish scene."""
+    fx = fy = 0.8 * width
+    intr = np.array([[fx, 0, width / 2], [0, fy, height / 2], [0, 0, 1]], dtype=np.float32)
+    c, s = np.cos(angle), np.sin(angle)
+    rot = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], dtype=np.float32)
+    ext = np.eye(4, dtype=np.float32)
+    ext[:3, :3] = rot
+    ext[:3, 3] = [tx, 0.1 * rng.randn(), 0.05 * rng.randn()]
+    return intr, ext
+
+
+def compose(intr, ext):
+    proj = ext.copy()
+    proj[:3, :4] = intr @ ext[:3, :4]
+    return proj
+
+
+def test_bilinear_sample_matches_grid_sample():
+    rng = np.random.RandomState(0)
+    b, h, w, c = 2, 13, 17, 5
+    img = rng.randn(b, h, w, c).astype(np.float32)
+    # coords spanning inside and (partially) outside the image
+    coords = rng.uniform(-3, [w + 2, h + 2], size=(b, 40, 2)).astype(np.float32)
+
+    got = np.asarray(bilinear_sample(img, coords))
+
+    t_img = torch.from_numpy(np.moveaxis(img, -1, 1))
+    gx = coords[..., 0] / ((w - 1) / 2) - 1
+    gy = coords[..., 1] / ((h - 1) / 2) - 1
+    grid = torch.from_numpy(np.stack([gx, gy], axis=-1))[:, :, None]  # [B,N,1,2]
+    ref = TF.grid_sample(t_img, grid, mode="bilinear", padding_mode="zeros", align_corners=True)
+    ref = ref[:, :, :, 0].permute(0, 2, 1).numpy()  # [B,N,C]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_homography_warp_matches_reference_oracle():
+    rng = np.random.RandomState(1)
+    b, h, w, c, d = 1, 24, 32, 8, 16
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.15, tx=0.5)
+    ref_proj = compose(ref_intr, ref_ext)[None]
+    src_proj = compose(src_intr, src_ext)[None]
+    depth_values = np.linspace(2.0, 6.0, d, dtype=np.float32)[None].repeat(b, 0)
+
+    warped, invalid = homography_warp(feat, src_proj, ref_proj, depth_values)
+    warped = np.asarray(warped)  # [B,D,H,W,C]
+    invalid = np.asarray(invalid)
+
+    t_feat = torch.from_numpy(np.moveaxis(feat, -1, 1))
+    ref_w, ref_mask = torch_homo_warp(
+        t_feat, torch.from_numpy(src_proj), torch.from_numpy(ref_proj), torch.from_numpy(depth_values)
+    )
+    ref_w = ref_w.numpy().transpose(0, 2, 3, 4, 1)  # [B,D,H,W,C]
+    np.testing.assert_allclose(warped, ref_w, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(invalid, ref_mask.numpy())
+    # sanity: a nontrivial fraction of the volume must be valid
+    assert invalid.mean() < 0.9
+
+
+def test_identity_warp_is_identity():
+    """Same camera for src and ref -> warp must reproduce src features at
+    every depth (within the valid region)."""
+    rng = np.random.RandomState(2)
+    b, h, w, c, d = 1, 16, 20, 4, 5
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    intr, ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    proj = compose(intr, ext)[None]
+    depth_values = np.linspace(1.0, 4.0, d, dtype=np.float32)[None]
+    warped, invalid = homography_warp(feat, proj, proj, depth_values)
+    warped = np.asarray(warped)
+    assert not np.asarray(invalid).any()
+    for di in range(d):
+        np.testing.assert_allclose(warped[:, di], feat, rtol=1e-3, atol=1e-3)
+
+
+def test_compose_projection():
+    rng = np.random.RandomState(3)
+    intr, ext = rand_camera(rng, 32, 40)
+    cam = np.zeros((1, 2, 4, 4), dtype=np.float32)
+    cam[0, 0] = ext
+    cam[0, 1, :3, :3] = intr
+    got = np.asarray(compose_projection(cam))[0]
+    np.testing.assert_allclose(got, compose(intr, ext), rtol=1e-6, atol=1e-6)
+
+
+def test_init_inverse_range_descending():
+    depth_values = np.linspace(2.0, 10.0, 192, dtype=np.float32)[None]
+    hypo = np.asarray(init_inverse_range(depth_values, 32, 4, 6))
+    assert hypo.shape == (1, 32, 4, 6)
+    np.testing.assert_allclose(hypo[0, 0, 0, 0], 10.0, rtol=1e-5)
+    np.testing.assert_allclose(hypo[0, -1, 0, 0], 2.0, rtol=1e-5)
+    assert (np.diff(hypo[0, :, 0, 0]) < 0).all()
