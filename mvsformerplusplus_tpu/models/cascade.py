@@ -1,0 +1,136 @@
+"""The 4-stage coarse-to-fine cascade shared by all model families.
+
+Factors the stage loop of the reference's top-level models
+(models/networks/DINOv2_mvsformer_model.py:120-178,
+models/networks/casmvs_model.py:72-131) into a reusable linen helper: depth
+hypothesis scheduling per stage, optional 3D PE for transformer cost-regs,
+StageNet invocation, and confidence averaging across stages.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.geometry import get_position_3d
+from ..ops.resize import resize2d
+from ..ops.sampling import (
+    init_inverse_range,
+    init_range,
+    schedule_inverse_range,
+    schedule_range,
+)
+from .stagenet import StageNet
+
+Array = jax.Array
+
+
+class CascadeDepth(nn.Module):
+    """Runs StageNets over per-stage features.
+
+    Attributes mirror the reference model args (config/mvsformer++.json):
+      ndepths, depth_intervals_ratio, inverse_depth, cost_reg_type (per
+      stage), depth_type (per stage), groups (base_ch per stage),
+      transformer_config (per transformer stage index).
+    """
+
+    ndepths: Sequence[int] = (32, 16, 8, 4)
+    depth_intervals_ratio: Sequence[float] = (4.0, 2.67, 1.5, 1.0)
+    inverse_depth: bool = True
+    cost_reg_type: Sequence[str] = ("Normal", "Normal", "Normal", "Normal")
+    depth_type: Sequence[str] = ("ce", "ce", "ce", "ce")
+    groups: Sequence[int] = (8, 8, 8, 8)
+    use_pe3d: bool = True
+    transformer_config: Optional[Sequence[dict]] = None
+    remat_stages: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        stages = []
+        for i, nd in enumerate(self.ndepths):
+            tc = None
+            if self.cost_reg_type[i] == "PureTransformerCostReg" and self.transformer_config:
+                tc = self.transformer_config[min(i, len(self.transformer_config) - 1)]
+            cls = StageNet
+            if self.remat_stages:
+                # the reference gradient-checkpoints its cost regularizers
+                # (models/module.py:393-396,488-492); remat at stage level
+                # trades the same FLOPs for HBM
+                cls = nn.remat(StageNet, static_argnums=(4, 6))
+            stages.append(
+                cls(
+                    ndepth=nd,
+                    groups=self.groups[i],
+                    cost_reg_type=self.cost_reg_type[i],
+                    depth_type=self.depth_type[i],
+                    transformer_config=tc,
+                    dtype=self.dtype,
+                    name=f"stage{i + 1}",
+                )
+            )
+        self.stages = stages
+
+    def __call__(
+        self,
+        features: Dict[str, Array],  # {'stage1': [B,V,H,W,C], ...}
+        cams: Dict[str, Array],  # {'stage1': [B,V,2,4,4], ...}
+        depth_values: Array,  # [B, Dfull]
+        tmp: Sequence[float] = (5.0, 5.0, 5.0, 1.0),
+        train: bool = False,
+    ) -> Dict[str, Any]:
+        depth_values = depth_values.astype(jnp.float32)
+        depth_interval = depth_values[:, 1] - depth_values[:, 0]
+        img_h = features["stage%d" % len(self.ndepths)].shape[2]
+        img_w = features["stage%d" % len(self.ndepths)].shape[3]
+
+        outputs: Dict[str, Any] = {}
+        prev: Dict[str, Array] = {}
+        bounds = None
+        prob_maps = 0.0
+
+        for idx in range(len(self.ndepths)):
+            key = f"stage{idx + 1}"
+            feats = features[key]
+            stage_cams = cams[key]
+            b, v, h, w, _ = feats.shape
+
+            if idx == 0:
+                if self.inverse_depth:
+                    hypo = init_inverse_range(depth_values, self.ndepths[0], h, w)
+                else:
+                    hypo = init_range(depth_values, self.ndepths[0], h, w)
+            else:
+                prev_depth = jax.lax.stop_gradient(prev["depth"])
+                if self.inverse_depth:
+                    hypo = schedule_inverse_range(
+                        prev_depth, prev["depth_values"], self.ndepths[idx],
+                        self.depth_intervals_ratio[idx], h, w,
+                    )
+                else:
+                    hypo = schedule_range(
+                        prev_depth, self.ndepths[idx],
+                        self.depth_intervals_ratio[idx] * depth_interval, h, w,
+                    )
+
+            position3d = None
+            if self.cost_reg_type[idx] != "Normal" and self.use_pe3d:
+                intr = stage_cams[:, 0, 1, :3, :3]
+                position3d, bounds = get_position_3d(
+                    intr, hypo, h, w,
+                    depth_min=depth_values.min(), depth_max=depth_values.max(),
+                    bounds=bounds,
+                )
+
+            prev = self.stages[idx](feats, stage_cams, hypo, tmp[idx], position3d, train)
+            outputs[key] = prev
+
+            conf = prev["photometric_confidence"]
+            if conf.shape[1] != img_h or conf.shape[2] != img_w:
+                conf = resize2d(conf[..., None], img_h, img_w, method="nearest")[..., 0]
+            prob_maps = prob_maps + conf
+
+        outputs["refined_depth"] = prev["depth"]
+        outputs["photometric_confidence"] = prob_maps / len(self.ndepths)
+        return outputs

@@ -1,0 +1,237 @@
+"""Conv/norm building blocks and the FPN feature pyramid (flax.linen, NHWC).
+
+Re-designs of the reference's conv stacks (models/module.py:47-270) for TPU:
+channel-last layouts (XLA TPU native), bf16 compute with fp32 params, and
+fp32 islands where the reference pins them (FPN decoder upsample
+models/module.py:261-267).
+
+BatchNorm note: under pjit with a batch-sharded mesh, the batch-axis mean in
+BatchNorm is computed over the *global* batch (XLA inserts the collective),
+so the reference's explicit SyncBatchNorm conversion (train.py:199) is
+subsumed by sharding — no extra machinery needed.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import resize2d
+
+Array = jax.Array
+Dtype = Any
+
+
+def leaky_relu01(x):
+    return nn.leaky_relu(x, negative_slope=0.1)
+
+
+class ConvBlock(nn.Module):
+    """Conv2d + (Instance|Batch)Norm + LeakyReLU(0.1).
+
+    Reference models/module.py:47-86 (Conv2d wrapper). NHWC.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    norm: str = "IN"  # 'IN' | 'BN' | 'none'
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        use_bias = self.norm == "none"
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=use_bias,
+            dtype=self.dtype,
+        )(x)
+        if self.norm == "BN":
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32,
+            )(x)
+        elif self.norm == "IN":
+            # InstanceNorm == GroupNorm with one group per channel, no batch
+            # statistics — fully data-parallel-safe.
+            x = nn.GroupNorm(group_size=1, epsilon=1e-5, dtype=jnp.float32)(x)
+        if self.act:
+            x = leaky_relu01(x)
+        return x.astype(self.dtype)
+
+
+class ConvBnReLU(nn.Module):
+    """Conv2d + BN + ReLU (reference models/module.py:168-197); used by the
+    entropy->visibility head in StageNet."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32,
+        )(x)
+        return nn.relu(x).astype(self.dtype)
+
+
+class Conv3dBlock(nn.Module):
+    """Conv3d + BN + ReLU over NDHWC volumes (reference models/module.py:89-126)."""
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int, int]] = 3
+    stride: Union[int, Tuple[int, int, int]] = 1
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        ks = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size,) * 3
+        st = self.stride if isinstance(self.stride, tuple) else (self.stride,) * 3
+        x = nn.Conv(
+            self.features, ks, strides=st, padding="SAME", use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32,
+        )(x)
+        if self.act:
+            x = nn.relu(x)
+        return x.astype(self.dtype)
+
+
+class Deconv3dBlock(nn.Module):
+    """ConvTranspose3d + BN + ReLU, ×2 upsampling along selected axes.
+
+    torch's (kernel 3, stride s, padding 1, output_padding s-1) transposed
+    conv produces exactly in·s outputs per axis — flax 'SAME' padding with the
+    same stride matches that output arithmetic (weights are trained from
+    scratch, so only shape semantics must agree).
+    Reference models/module.py:129-165, 466-479.
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int, int]] = 3
+    stride: Union[int, Tuple[int, int, int]] = (1, 2, 2)
+    act: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        ks = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size,) * 3
+        st = self.stride if isinstance(self.stride, tuple) else (self.stride,) * 3
+        x = nn.ConvTranspose(
+            self.features, ks, strides=st, padding="SAME", use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32,
+        )(x)
+        if self.act:
+            x = nn.relu(x)
+        return x.astype(self.dtype)
+
+
+class FPNEncoder(nn.Module):
+    """4-level conv pyramid 1/1 -> 1/8 (reference models/module.py:208-239)."""
+
+    feat_chs: Sequence[int] = (8, 16, 32, 64)
+    norm: str = "BN"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False):
+        c0, c1, c2, c3 = self.feat_chs
+        conv = lambda f, k, s=1: ConvBlock(f, k, s, norm=self.norm, dtype=self.dtype)
+        x = conv(c0, 7)(x, train)
+        conv01 = conv(c0, 5)(x, train)
+        x = conv(c1, 5, 2)(conv01, train)
+        x = conv(c1, 3)(x, train)
+        conv11 = conv(c1, 3)(x, train)
+        x = conv(c2, 5, 2)(conv11, train)
+        x = conv(c2, 3)(x, train)
+        conv21 = conv(c2, 3)(x, train)
+        x = conv(c3, 3, 2)(conv21, train)
+        x = conv(c3, 3)(x, train)
+        conv31 = conv(c3, 3)(x, train)
+        return conv01, conv11, conv21, conv31
+
+
+class FPNDecoder(nn.Module):
+    """Top-down pyramid with Swish + BN; outputs stage1..4 features
+    (64ch@1/8, 32@1/4, 16@1/2, 8@1/1). Reference models/module.py:242-270.
+
+    Upsampling is bilinear align_corners=True in fp32 (matmul resize)."""
+
+    feat_chs: Sequence[int] = (8, 16, 32, 64)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, conv01, conv11, conv21, conv31, train: bool = False):
+        c0, c1, c2, c3 = self.feat_chs
+        final_ch = c3
+
+        def head(x, features, kernel):
+            x = nn.Conv(features, (kernel, kernel), padding="SAME", dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32)(x)
+            return (x * nn.sigmoid(x)).astype(self.dtype)  # Swish
+
+        intra = conv31
+        out0 = head(intra, c3, 1)
+
+        def up_add(x, lateral, ch):
+            h, w = lateral.shape[-3], lateral.shape[-2]
+            up = resize2d(x.astype(jnp.float32), h, w, method="linear", align_corners=True)
+            lat = nn.Conv(final_ch, (1, 1), dtype=self.dtype)(lateral)
+            return (up + lat.astype(jnp.float32)).astype(self.dtype)
+
+        intra = up_add(intra, conv21, c2)
+        out1 = head(intra, c2, 3)
+        intra = up_add(intra, conv11, c1)
+        out2 = head(intra, c1, 3)
+        intra = up_add(intra, conv01, c0)
+        out3 = head(intra, c0, 3)
+        return out0, out1, out2, out3
+
+
+class LayerNorm3D(nn.Module):
+    """Channel LayerNorm over NDHWC volumes (normalizes the C axis only).
+
+    Reference models/module.py:586-599 normalizes dim 1 of NCDHW — i.e. the
+    channel axis — which in channel-last is just LayerNorm over the last axis
+    without centering stats over space. fp32 statistics.
+    """
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean((xf - mean) ** 2, axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return (y * scale + bias).astype(self.dtype)

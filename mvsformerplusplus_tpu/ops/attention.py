@@ -88,7 +88,7 @@ def softmax_attention(
     n, m = q.shape[1], k.shape[1]
     if use_flash is None:
         use_flash = (
-            jax.default_backend() == "tpu"
+            jax.default_backend() in ("tpu", "axon")
             and n >= FLASH_MIN_SEQ
             and m >= FLASH_MIN_SEQ
         )

@@ -52,9 +52,11 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
     k = k_ref[0]  # [bm, d]
     v = v_ref[0]  # [bm, d]
 
+    # NOTE: no `precision=` here — Mosaic rejects HIGHEST-precision matmuls
+    # ("Bad lhs type": it lowers f32 HIGHEST to a bf16 multi-pass form); the
+    # f32 accumulate via preferred_element_type is what matters.
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )  # [bn, bm]
 
     if seq_m % bm != 0:
@@ -77,7 +79,6 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
     acc_scratch[:] = acc_scratch[:] * alpha[:, :1] + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     )
     m_scratch[:] = m_next
     l_scratch[:] = l_next
@@ -131,7 +132,7 @@ def _flash_fwd(q: Array, k: Array, v: Array, scale: float, bn: int, bm: int) -> 
         ],
         # CPU (tests / dryrun) has no Mosaic backend; interpret mode keeps the
         # same numerics so goldens validate the kernel logic off-TPU.
-        interpret=jax.default_backend() != "tpu",
+        interpret=jax.default_backend() not in ("tpu", "axon"),
     )(qp, kp, vp)
     return out[:, :n, :d]
 

@@ -1,0 +1,92 @@
+"""End-to-end smoke: CasMVSNet forward on tiny shapes (shapes, dtypes,
+finiteness, confidence range)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvsformerplusplus_tpu.models.casmvs import CasMVSNet
+
+
+def make_inputs(rng, b=1, v=3, h=64, w=128, dfull=48):
+    imgs = rng.rand(b, v, h, w, 3).astype(np.float32)
+    cams = {}
+    base_intr = np.array([[60.0, 0, 8.0], [0, 60.0, 4.0], [0, 0, 1]], dtype=np.float32)
+    for s in range(4):
+        scale = 0.125 * (2**s)
+        cam = np.zeros((b, v, 2, 4, 4), dtype=np.float32)
+        for vi in range(v):
+            ang = 0.1 * vi
+            c, sn = np.cos(ang), np.sin(ang)
+            ext = np.eye(4, dtype=np.float32)
+            ext[:3, :3] = np.array([[c, 0, sn], [0, 1, 0], [-sn, 0, c]], dtype=np.float32)
+            ext[0, 3] = 0.3 * vi
+            cam[:, vi, 0] = ext
+            intr = base_intr.copy()
+            intr[:2] *= scale / 0.125
+            cam[:, vi, 1, :3, :3] = intr
+        cams[f"stage{s + 1}"] = cam
+    depth_values = np.linspace(2.5, 8.0, dfull, dtype=np.float32)[None].repeat(b, 0)
+    return jnp.asarray(imgs), jax.tree.map(jnp.asarray, cams), jnp.asarray(depth_values)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    rng = np.random.RandomState(0)
+    imgs, cams, dv = make_inputs(rng)
+    model = CasMVSNet(ndepths=(8, 4, 4, 4), remat_stages=False)
+    # eager dispatch is ~8ms/op on this CPU build: jit init and both apply
+    # modes once for the whole module
+    variables = jax.jit(lambda r: model.init(r, imgs, cams, dv, train=False))(
+        jax.random.PRNGKey(0)
+    )
+    apply_eval = jax.jit(lambda v: model.apply(v, imgs, cams, dv, train=False))
+    apply_train = jax.jit(
+        lambda v: model.apply(v, imgs, cams, dv, train=True, mutable=["batch_stats"])
+    )
+    return model, variables, (imgs, cams, dv), apply_eval, apply_train
+
+
+def test_forward_shapes(model_and_vars):
+    model, variables, (imgs, cams, dv), apply_eval, _ = model_and_vars
+    out = apply_eval(variables)
+    b, v, h, w, _ = imgs.shape
+    assert out["refined_depth"].shape == (b, h, w)
+    assert out["photometric_confidence"].shape == (b, h, w)
+    for i, (nd, f) in enumerate(zip((8, 4, 4, 4), (8, 4, 2, 1))):
+        s = out[f"stage{i + 1}"]
+        assert s["depth"].shape == (b, h // f, w // f)
+        assert s["prob_volume"].shape == (b, nd, h // f, w // f)
+    d = np.asarray(out["refined_depth"])
+    assert np.isfinite(d).all()
+    assert (d > 0).all()
+    conf = np.asarray(out["photometric_confidence"])
+    assert (conf >= 0).all() and (conf <= 1.0 + 1e-5).all()
+
+
+def test_train_mode_runs_with_batchstats(model_and_vars):
+    model, variables, (imgs, cams, dv), _, apply_train = model_and_vars
+    out, updates = apply_train(variables)
+    assert "batch_stats" in updates
+    assert np.isfinite(np.asarray(out["stage1"]["prob_volume_pre"])).all()
+    # 'ce' train-mode depth is an argmax gather over the hypotheses
+    s1 = out["stage1"]
+    depths = np.asarray(s1["depth"])
+    hypo = np.asarray(s1["depth_values"])
+    assert ((depths >= hypo.min()) & (depths <= hypo.max())).all()
+
+
+def test_hypotheses_narrow_each_stage(model_and_vars):
+    model, variables, (imgs, cams, dv), apply_eval, _ = model_and_vars
+    out = apply_eval(variables)
+    # the contraction invariant lives in inverse-depth space (inverse_depth
+    # scheduling): each stage's inverse-width band must shrink or hold
+    widths = []
+    for i in range(4):
+        hv = np.asarray(out[f"stage{i + 1}"]["depth_values"])
+        inv = 1.0 / hv
+        widths.append(np.abs(inv.max(axis=1) - inv.min(axis=1)).mean())
+    assert widths[1] < widths[0]
+    assert widths[2] <= widths[1] * 1.05
+    assert widths[3] < widths[2]
