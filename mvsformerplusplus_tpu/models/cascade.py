@@ -45,6 +45,7 @@ class CascadeDepth(nn.Module):
     use_pe3d: bool = True
     transformer_config: Optional[Sequence[dict]] = None
     remat_stages: bool = True
+    shard_views: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -66,6 +67,7 @@ class CascadeDepth(nn.Module):
                     cost_reg_type=self.cost_reg_type[i],
                     depth_type=self.depth_type[i],
                     transformer_config=tc,
+                    shard_views=self.shard_views,
                     dtype=self.dtype,
                     name=f"stage{i + 1}",
                 )

@@ -31,6 +31,7 @@ class CasMVSNet(nn.Module):
     transformer_config: Optional[Sequence[dict]] = None
     use_pe3d: bool = False
     remat_stages: bool = True
+    shard_views: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -58,6 +59,7 @@ class CasMVSNet(nn.Module):
             use_pe3d=self.use_pe3d,
             transformer_config=self.transformer_config,
             remat_stages=self.remat_stages,
+            shard_views=self.shard_views,
             dtype=self.dtype,
             name="cascade",
         )(features, cams, depth_values, tmp, train)

@@ -37,6 +37,8 @@ class DINOv2MVSNet(nn.Module):
     out_ch: int = 64
     freeze_vit: bool = True
     vit_patch: int = 14
+    vit_depth: int = 12
+    vit_num_heads: int = 12
     cross_interval_layers: int = 3
     decoder_cfg: Optional[dict] = None
     fmt_config: Optional[dict] = None
@@ -50,6 +52,7 @@ class DINOv2MVSNet(nn.Module):
     transformer_config: Optional[Sequence[dict]] = None
     use_pe3d: bool = True
     remat_stages: bool = True
+    shard_views: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -57,6 +60,7 @@ class DINOv2MVSNet(nn.Module):
         self.decoder = FPNDecoder(self.feat_chs, dtype=self.dtype, name="decoder")
         self.vit = DinoVisionTransformer(
             embed_dim=self.vit_ch, patch_size=self.vit_patch,
+            depth=self.vit_depth, num_heads=self.vit_num_heads,
             cross_interval_layers=self.cross_interval_layers,
             dtype=self.dtype, name="vit",
         )
@@ -96,6 +100,7 @@ class DINOv2MVSNet(nn.Module):
             use_pe3d=self.use_pe3d,
             transformer_config=self.transformer_config,
             remat_stages=self.remat_stages,
+            shard_views=self.shard_views,
             dtype=self.dtype,
             name="cascade",
         )

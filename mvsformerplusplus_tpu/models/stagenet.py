@@ -1,12 +1,17 @@
 """StageNet — one cascade stage: plane-sweep cost volume + regularization +
 depth/confidence heads.
 
-Re-design of reference models/cost_volume.py:21-133. The per-source-view
-work (warp -> group correlation -> entropy -> vis weight -> accumulate) is
-factored into `view_contribution` so the distributed path
-(parallel/cost_volume.py) can run the same function per-shard and psum the
-two accumulators over the `cv` mesh axis — the sum at reference
-models/cost_volume.py:97-101 is exactly that reduction.
+Re-design of reference models/cost_volume.py:21-133. Instead of the
+reference's per-source-view Python loop, all V-1 source views are processed
+as one batched tensor [B·(V-1), ...] (warp -> group correlation -> entropy ->
+vis weight), then reduced with a weighted mean over the view axis — the sum
+at reference models/cost_volume.py:97-101.
+
+Distribution: the view axis is the `cv` mesh axis. When `shard_views` is set,
+sharding constraints pin [B, V-1, ...] intermediates to P(None, 'cv') so the
+SPMD partitioner runs each shard's views locally and lowers the final
+view-sum to a psum over ICI — source-view cost-volume partitioning without
+any explicit collective code.
 """
 from __future__ import annotations
 
@@ -15,8 +20,9 @@ from typing import Any, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
-from ..ops.correlation import correlation_entropy, groupwise_correlation
+from ..ops.correlation import groupwise_correlation
 from ..ops.geometry import compose_projection
 from ..ops.grid_sample import homography_warp
 from ..ops.sampling import conf_regression, depth_regression
@@ -42,6 +48,12 @@ class VisibilityNet(nn.Module):
         return nn.sigmoid(x.astype(jnp.float32))
 
 
+def _constrain(x: Array, spec: Optional[P]) -> Array:
+    if spec is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
 class StageNet(nn.Module):
     """One coarse-to-fine stage.
 
@@ -53,6 +65,7 @@ class StageNet(nn.Module):
       transformer_config: kwargs for PureTransformerCostReg when selected.
       model_th: Normal reg uses CostRegNet3D when ndepth <= model_th
         (reference models/cost_volume.py:45-49).
+      shard_views: shard the source-view axis over the `cv` mesh axis.
     """
 
     ndepth: int
@@ -61,16 +74,15 @@ class StageNet(nn.Module):
     depth_type: str = "ce"
     transformer_config: Optional[dict] = None
     model_th: int = 8
+    shard_views: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
         self.vis = VisibilityNet(dtype=self.dtype)
         if self.cost_reg_type == "PureTransformerCostReg":
             cfg = dict(self.transformer_config or {})
-            cfg.pop("base_channel", None)
-            cfg.pop("attention_type", None)
-            cfg.pop("drop", None)
-            cfg.pop("attn_drop", None)
+            for k in ("base_channel", "attention_type", "drop", "attn_drop"):
+                cfg.pop(k, None)
             if "down_rate" in cfg:
                 cfg["down_rate"] = tuple(cfg["down_rate"])
             self.cost_reg = PureTransformerCostReg(
@@ -81,43 +93,56 @@ class StageNet(nn.Module):
         else:
             self.cost_reg = CostRegNet(base_channels=self.groups, dtype=self.dtype)
 
-    def view_contribution(self, ref_feat: Array, src_feat: Array,
-                          ref_proj: Array, src_proj: Array,
-                          depth_values: Array, train: bool) -> Tuple[Array, Array]:
-        """corr [B,D,H,W,G] (vis-weighted) and vis [B,H,W,1] for one src view."""
-        warped, _ = homography_warp(
-            src_feat.astype(jnp.float32), src_proj, ref_proj, depth_values
-        )
-        corr = groupwise_correlation(warped, ref_feat, self.groups)
-        entropy = correlation_entropy(corr)
-        vis = self.vis(entropy, train)  # [B,H,W,1]
-        return corr * vis[:, None], vis
-
     def build_volume(self, features: Array, cams: Array, depth_values: Array,
                      train: bool) -> Array:
-        """Weighted-mean correlation volume over source views.
+        """Weighted-mean correlation volume over source views, batched.
 
         features: [B, V, H, W, C] (view 0 = reference), cams: [B, V, 2, 4, 4].
+        Returns [B, D, H, W, G] fp32.
         """
-        nviews = features.shape[1]
-        ref_feat = features[:, 0].astype(jnp.float32)
+        b, v, h, w, c = features.shape
+        nsrc = v - 1
+        d = depth_values.shape[1]
+        vspec = P(None, "cv") if self.shard_views else None
+
+        ref_feat = features[:, 0].astype(jnp.float32)  # [B, H, W, C]
+        src_feats = _constrain(features[:, 1:], vspec)  # [B, V-1, H, W, C]
         projs = compose_projection(cams)  # [B, V, 4, 4]
-        volume_sum = 0.0
-        vis_sum = 0.0
-        for v in range(1, nviews):
-            corr_w, vis = self.view_contribution(
-                ref_feat, features[:, v], projs[:, 0], projs[:, v], depth_values, train
-            )
-            volume_sum = volume_sum + corr_w
-            vis_sum = vis_sum + vis
+        ref_proj = projs[:, 0]
+        src_projs = _constrain(projs[:, 1:], vspec)
+
+        # fold views into batch: [B·(V-1), ...] with the view axis leading the
+        # fold so a later reshape back to [B, V-1, ...] keeps sharding
+        flat_src = src_feats.reshape(b * nsrc, h, w, c)
+        flat_proj = src_projs.reshape(b * nsrc, 4, 4)
+        flat_ref_proj = jnp.repeat(ref_proj, nsrc, axis=0)
+        flat_depth = jnp.repeat(depth_values, nsrc, axis=0)
+
+        warped, _ = homography_warp(
+            flat_src.astype(jnp.float32), flat_proj, flat_ref_proj, flat_depth
+        )  # [B·(V-1), D, H, W, C]
+        flat_ref = jnp.repeat(ref_feat, nsrc, axis=0)
+        corr = groupwise_correlation(warped, flat_ref, self.groups)  # [.., G]
+
+        # entropy of the depth-softmax of the summed correlation (stop-grad,
+        # reference models/cost_volume.py:89-93)
+        sim = jax.lax.stop_gradient(jnp.sum(corr, axis=-1))
+        p = jax.nn.softmax(sim, axis=1)
+        entropy = -jnp.sum(p * jnp.log(p + 1e-7), axis=1)[..., None]  # [B(V-1),H,W,1]
+        vis = self.vis(entropy, train)  # [B·(V-1), H, W, 1]
+
+        corr = _constrain(corr.reshape(b, nsrc, d, h, w, self.groups), vspec)
+        vis = _constrain(vis.reshape(b, nsrc, h, w, 1), vspec)
+
+        volume_sum = jnp.sum(corr * vis[:, :, None], axis=1)  # psum over cv
+        vis_sum = jnp.sum(vis, axis=1)
         return volume_sum / (vis_sum[:, None] + 1e-6)
 
     def __call__(self, features: Array, cams: Array, depth_values: Array,
                  tmp: float = 1.0, position3d: Optional[Array] = None,
                  train: bool = False, volume_mean: Optional[Array] = None) -> dict:
         """Full stage. `volume_mean` short-circuits cost-volume construction
-        (used by the view-sharded distributed path which builds it with psum).
-        """
+        (for callers that build it externally)."""
         if volume_mean is None:
             volume_mean = self.build_volume(features, cams, depth_values, train)
 
