@@ -1,0 +1,131 @@
+"""On-disk formats: PFM depth maps, MVSNet cam files, pair lists.
+
+Wire-compatible with the MVSNet-format data the reference consumes/produces
+(reference datasets/data_io.py:7-67, datasets/dtu_dataset_ms.py:133-144,
+misc/gipuma.py), so datasets and downstream evaluators interchange.
+"""
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def read_pfm(filename) -> Tuple[np.ndarray, float]:
+    """PFM (big/little-endian, mono or color) -> (H, W[, 3]) float32, scale."""
+    with open(filename, "rb") as f:
+        header = f.readline().decode("utf-8").rstrip()
+        if header == "PF":
+            color = True
+        elif header == "Pf":
+            color = False
+        else:
+            raise ValueError(f"not a PFM file: {filename}")
+        dim = re.match(r"^(\d+)\s(\d+)\s$", f.readline().decode("utf-8"))
+        if not dim:
+            raise ValueError(f"malformed PFM header: {filename}")
+        width, height = map(int, dim.groups())
+        scale = float(f.readline().rstrip())
+        endian = "<" if scale < 0 else ">"
+        data = np.fromfile(f, endian + "f")
+    shape = (height, width, 3) if color else (height, width)
+    return np.flipud(data.reshape(shape)).copy(), abs(scale)
+
+
+def save_pfm(filename, image: np.ndarray, scale: float = 1.0) -> None:
+    image = np.flipud(np.asarray(image, np.float32))
+    if image.ndim == 3 and image.shape[2] == 3:
+        color = True
+    elif image.ndim == 2 or (image.ndim == 3 and image.shape[2] == 1):
+        color = False
+    else:
+        raise ValueError("image must be HxW, HxWx1 or HxWx3")
+    with open(filename, "wb") as f:
+        f.write(b"PF\n" if color else b"Pf\n")
+        f.write(f"{image.shape[1]} {image.shape[0]}\n".encode())
+        f.write(f"{-scale:f}\n".encode())  # little-endian
+        image.astype("<f4").tofile(f)
+
+
+def read_cam_file(filename, interval_scale: float = 1.0):
+    """MVSNet cam txt -> (intrinsics 3x3, extrinsics 4x4, depth_min,
+    depth_interval, extra) where extra holds the optional depth_num /
+    depth_max fields some BlendedMVS cams carry
+    (reference datasets/blended_dataset_ms.py:152-157)."""
+    with open(filename) as f:
+        lines = [l.rstrip() for l in f.readlines()]
+    extrinsics = np.fromstring(" ".join(lines[1:5]), dtype=np.float32, sep=" ").reshape(4, 4)
+    intrinsics = np.fromstring(" ".join(lines[7:10]), dtype=np.float32, sep=" ").reshape(3, 3)
+    fields = lines[11].split()
+    depth_min = float(fields[0])
+    depth_interval = float(fields[1]) * interval_scale
+    extra: Dict[str, float] = {}
+    if len(fields) >= 4:
+        extra["depth_num"] = float(fields[2])
+        extra["depth_max"] = float(fields[3])
+    return intrinsics, extrinsics, depth_min, depth_interval, extra
+
+
+def save_cam_file(filename, intrinsics: np.ndarray, extrinsics: np.ndarray,
+                  depth_min: float, depth_interval: float,
+                  depth_num: Optional[float] = None,
+                  depth_max: Optional[float] = None) -> None:
+    with open(filename, "w") as f:
+        f.write("extrinsic\n")
+        for row in np.asarray(extrinsics, np.float64):
+            f.write(" ".join(f"{x}" for x in row) + "\n")
+        f.write("\nintrinsic\n")
+        for row in np.asarray(intrinsics, np.float64):
+            f.write(" ".join(f"{x}" for x in row) + "\n")
+        tail = f"\n{depth_min} {depth_interval}"
+        if depth_num is not None and depth_max is not None:
+            tail += f" {depth_num} {depth_max}"
+        f.write(tail + "\n")
+
+
+def read_pair_file(filename) -> List[Tuple[int, List[int]]]:
+    """pair.txt -> [(ref_view, [src views sorted by score]), ...]."""
+    pairs = []
+    with open(filename) as f:
+        num = int(f.readline())
+        for _ in range(num):
+            ref = int(f.readline().rstrip())
+            fields = f.readline().rstrip().split()
+            n = int(fields[0])
+            srcs = [int(fields[1 + 2 * i]) for i in range(n)]
+            pairs.append((ref, srcs))
+    return pairs
+
+
+def save_pair_file(filename, pairs: Sequence[Tuple[int, Sequence[Tuple[int, float]]]]) -> None:
+    """pairs: [(ref, [(src, score), ...]), ...]."""
+    with open(filename, "w") as f:
+        f.write(f"{len(pairs)}\n")
+        for ref, scored in pairs:
+            f.write(f"{ref}\n{len(scored)} ")
+            f.write(" ".join(f"{s} {score:.4f}" for s, score in scored) + "\n")
+
+
+def read_image(filename) -> np.ndarray:
+    """Image file -> float32 [H, W, 3] in [0, 1]."""
+    from PIL import Image
+
+    img = Image.open(filename)
+    return np.asarray(img, np.float32)[..., :3] / 255.0
+
+
+def build_camera_stack(intrinsics: np.ndarray, extrinsics: np.ndarray) -> np.ndarray:
+    """(3x3, 4x4) -> the [2, 4, 4] stack used across the framework."""
+    cam = np.zeros((2, 4, 4), np.float32)
+    cam[0] = extrinsics
+    cam[1, :3, :3] = intrinsics
+    cam[1, 3, 3] = 1.0
+    return cam
+
+
+def scale_intrinsics(intrinsics: np.ndarray, scale: float) -> np.ndarray:
+    out = intrinsics.copy()
+    out[:2] *= scale
+    return out
