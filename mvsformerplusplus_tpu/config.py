@@ -1,0 +1,112 @@
+"""Config system: reference-format nested-JSON configs + CLI path overrides
++ model factory.
+
+Wire-compatible with the reference's config files (config/mvsformer++.json,
+config/mvsformer++_ft.json) and its override convention — dotted/semicolon
+paths like `optimizer;args;lr=1e-4` (reference base/parse_config.py:140-166)
+— so existing configs drop in unchanged. `build_model` maps the arch args
+onto the flax modules (≡ reference init_model, utils.py:484-493).
+"""
+from __future__ import annotations
+
+import copy
+import json
+from functools import reduce
+from pathlib import Path
+from typing import Any, Dict, Optional, Sequence
+
+import jax.numpy as jnp
+
+
+class Config(dict):
+    """Nested dict with attribute access."""
+
+    def __getattr__(self, k):
+        try:
+            v = self[k]
+        except KeyError as e:
+            raise AttributeError(k) from e
+        return Config(v) if isinstance(v, dict) else v
+
+    def get_path(self, path: str, default=None):
+        keys = path.replace(";", ".").split(".")
+        node: Any = self
+        for k in keys:
+            if not isinstance(node, dict) or k not in node:
+                return default
+            node = node[k]
+        return node
+
+    def set_path(self, path: str, value):
+        keys = path.replace(";", ".").split(".")
+        node = self
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = value
+
+
+def load_config(path, overrides: Optional[Dict[str, Any]] = None) -> Config:
+    """Load a JSON config and apply `{'a;b;c': value}` overrides."""
+    with open(path) as f:
+        cfg = Config(json.load(f))
+    for k, v in (overrides or {}).items():
+        if v is not None:
+            cfg.set_path(k, v)
+    return cfg
+
+
+def parse_override(expr: str):
+    """'optimizer;args;lr=1e-4' -> (path, typed value)."""
+    path, raw = expr.split("=", 1)
+    try:
+        value = json.loads(raw)
+    except json.JSONDecodeError:
+        value = raw
+    return path, value
+
+
+def _to_tuple(x):
+    return tuple(x) if isinstance(x, (list, tuple)) else x
+
+
+def build_model(cfg: Config, dtype=jnp.bfloat16, **extra):
+    """arch.args -> model module (≡ reference init_model, utils.py:484-493)."""
+    args = cfg["arch"]["args"]
+    model_type = args.get("model_type", "DINOv2-base")
+
+    common = dict(
+        feat_chs=_to_tuple(args.get("feat_chs", (8, 16, 32, 64))),
+        ndepths=_to_tuple(args.get("ndepths", (32, 16, 8, 4))),
+        depth_intervals_ratio=_to_tuple(args.get("depth_interals_ratio", (4.0, 2.67, 1.5, 1.0))),
+        inverse_depth=args.get("inverse_depth", True),
+        depth_type=_to_tuple(args.get("depth_type", ("ce",) * 4)),
+        groups=_to_tuple(
+            args["base_ch"] if isinstance(args.get("base_ch"), list)
+            else [args.get("base_ch", 8)] * 4
+        ),
+        cost_reg_type=_to_tuple(args.get("cost_reg_type", ("Normal",) * 4)),
+        transformer_config=tuple(args.get("transformer_config", [])) or None,
+        use_pe3d=args.get("use_pe3d", False),
+        dtype=dtype,
+    )
+    common.update(extra)
+
+    if "DINOv2" in model_type:
+        from .models.mvsformer import DINOv2MVSNet
+
+        dino_cfg = args.get("dino_cfg", {})
+        return DINOv2MVSNet(
+            rescale=args.get("rescale", 0.4375),
+            vit_ch=args.get("vit_ch", 768),
+            out_ch=args.get("out_ch", 64),
+            freeze_vit=args.get("freeze_vit", True),
+            cross_interval_layers=dino_cfg.get("cross_interval_layers", 3),
+            decoder_cfg=dino_cfg.get("decoder_cfg"),
+            fmt_config=args.get("FMT_config"),
+            **common,
+        )
+    elif model_type == "casmvs":
+        from .models.casmvs import CasMVSNet
+
+        return CasMVSNet(**common)
+    raise ValueError(f"unknown model_type {model_type}")

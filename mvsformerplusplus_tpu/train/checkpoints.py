@@ -1,0 +1,73 @@
+"""Checkpoint save/resume via orbax — sharded, async-capable.
+
+Semantic content matches the reference's checkpoints (base_trainer.py:
+149-178): model params + batch stats, optimizer state, step/epoch, the
+monitored best value, and the config snapshot; written as `last`, `best`,
+and per-epoch steps. Orbax writes sharded arrays natively, superseding the
+reference's rank-0 torch.save + `module.` prefix stripping
+(train.py:155-161).
+"""
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory, max_to_keep: int = 3):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory / "steps",
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+        self.monitor_best = float("inf")
+
+    def save(self, epoch: int, state, config: Optional[dict] = None,
+             monitor_value: Optional[float] = None) -> bool:
+        """Save epoch checkpoint; track/flag best (min monitor). Returns
+        whether this epoch is the new best."""
+        self.manager.save(epoch, args=ocp.args.StandardSave(state))
+        self.manager.wait_until_finished()
+        is_best = False
+        if monitor_value is not None and monitor_value < self.monitor_best:
+            self.monitor_best = float(monitor_value)
+            (self.directory / "best.json").write_text(json.dumps(
+                {"epoch": epoch, "monitor_best": self.monitor_best}))
+            is_best = True
+        if config is not None:
+            (self.directory / "config.json").write_text(json.dumps(config, indent=2))
+        meta = {"last_epoch": epoch, "monitor_best": self.monitor_best}
+        (self.directory / "meta.json").write_text(json.dumps(meta))
+        return is_best
+
+    def latest_epoch(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def best_epoch(self) -> Optional[int]:
+        p = self.directory / "best.json"
+        if p.exists():
+            return json.loads(p.read_text())["epoch"]
+        return None
+
+    def restore(self, state_template, epoch: Optional[int] = None):
+        """Restore into the given abstract/concrete state template."""
+        if epoch is None:
+            epoch = self.latest_epoch()
+        if epoch is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        meta_path = self.directory / "meta.json"
+        if meta_path.exists():
+            self.monitor_best = json.loads(meta_path.read_text()).get(
+                "monitor_best", float("inf"))
+        restored = self.manager.restore(
+            epoch, args=ocp.args.StandardRestore(state_template))
+        return restored, epoch

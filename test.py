@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Evaluation CLI — depth inference + geometric fusion to point clouds.
+
+Mirrors the reference's `python test.py --dataset dtu --testpath ... `
+surface (reference test.py:25-98, 536-570) on the TPU stack:
+1. save_depth: run the model per reference view, write PFM depth, uint8
+   confidence, cams, jpg (reference test.py:184-295);
+2. filter: 'dpcd' (dynamic) or 'pcd' geometric-consistency fusion on TPU
+   (replacing the CUDA fusibile 'gipuma' path) -> one .ply per scan.
+Scans are strided across processes via --rank/--world (≡ the reference's
+manual per-GPU shell sharding, scripts/test_tt_inter.sh).
+"""
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def save_depths(args, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from mvsformerplusplus_tpu.config import build_model
+    from mvsformerplusplus_tpu.data.eval_dataset import EvalDataset
+    from mvsformerplusplus_tpu.data.io import save_cam_file, save_pfm
+    from mvsformerplusplus_tpu.data.loader import EvalLoader
+    from mvsformerplusplus_tpu.train.checkpoints import CheckpointManager
+    from mvsformerplusplus_tpu.train.step import TrainState
+    from mvsformerplusplus_tpu.train.optim import make_optimizer
+
+    with open(args.testlist) as f:
+        scans = [l.strip() for l in f if l.strip()]
+    scans = scans[args.rank::args.world]
+
+    interval_scale = {s: args.interval_scale for s in scans}
+    ds = EvalDataset(
+        args.testpath, scans, nviews=args.num_view, ndepths=args.numdepth,
+        interval_scale=interval_scale, max_h=args.max_h, max_w=args.max_w,
+        dataset_name=args.dataset,
+    )
+    loader = EvalLoader(ds, num_workers=2)
+
+    model = build_model(cfg, dtype=jnp.bfloat16)
+    tmp = tuple(args.tmp)
+
+    fwd = jax.jit(lambda v, i, c, d: model.apply(
+        v, i, c, d, tmp=tmp, train=False))
+
+    variables = None
+    times = []
+    for sample in loader:
+        imgs = jnp.asarray(sample["imgs"])[None]
+        cams = jax.tree.map(lambda x: jnp.asarray(x)[None], sample["cams"])
+        dv = jnp.asarray(sample["depth_values"])[None]
+        if variables is None:
+            if args.ckpt:
+                init_vars = jax.eval_shape(
+                    lambda r: model.init(r, imgs, cams, dv, train=False),
+                    jax.random.PRNGKey(0))
+                mgr = CheckpointManager(args.ckpt)
+                tx = make_optimizer()
+                template = TrainState(
+                    params=init_vars["params"],
+                    batch_stats=init_vars.get("batch_stats", {}),
+                    opt_state=jax.eval_shape(lambda: tx.init(
+                        jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                     init_vars["params"]))),
+                    step=jnp.zeros((), jnp.int32))
+                state, _ = mgr.restore(template, epoch=mgr.best_epoch())
+                variables = {"params": state.params, "batch_stats": state.batch_stats}
+            else:
+                logging.warning("no --ckpt given: using RANDOM weights (smoke mode)")
+                variables = jax.jit(lambda r: model.init(
+                    r, imgs, cams, dv, train=False))(jax.random.PRNGKey(0))
+
+        t0 = time.time()
+        out = fwd(variables, imgs, cams, dv)
+        depth = np.asarray(out["refined_depth"][0], np.float32)
+        conf = np.asarray(out["photometric_confidence"][0], np.float32)
+        times.append(time.time() - t0)
+
+        scan = sample["scan"]
+        ref = sample["ref_view"]
+        out_dir = Path(args.outdir) / scan
+        for sub in ("depth_est", "confidence", "cams", "images"):
+            (out_dir / sub).mkdir(parents=True, exist_ok=True)
+        save_pfm(out_dir / "depth_est" / f"{ref:0>8}.pfm", depth)
+        np.save(out_dir / "confidence" / f"{ref:0>8}.npy",
+                (np.clip(conf, 0, 1) * 255).astype(np.uint8))
+        cam = np.asarray(sample["cams"]["stage4"][0])  # full-res K, E
+        save_cam_file(out_dir / "cams" / f"{ref:0>8}_cam.txt",
+                      cam[1, :3, :3], cam[0],
+                      float(dv[0, 0]), float(dv[0, 1] - dv[0, 0]))
+        logging.info("%s view %d done (%.2fs)", scan, ref, times[-1])
+    if times:
+        logging.info("average time: %.3fs over %d views",
+                     float(np.mean(times[1:] or times)), len(times))
+    return scans
+
+
+def fuse_scan(args, scan):
+    import jax
+    import jax.numpy as jnp
+
+    from mvsformerplusplus_tpu.data.io import read_cam_file, read_pair_file, read_pfm
+    from mvsformerplusplus_tpu.data.io import build_camera_stack
+    from mvsformerplusplus_tpu.fusion.fusion import dpcd_fuse, pcd_fuse
+    from mvsformerplusplus_tpu.fusion.ply import write_ply
+
+    scan_dir = Path(args.outdir) / scan
+    pair = read_pair_file(Path(args.testpath) / scan / "pair.txt")
+
+    def load_view(vid):
+        depth = read_pfm(scan_dir / "depth_est" / f"{vid:0>8}.pfm")[0].astype(np.float32)
+        conf = np.load(scan_dir / "confidence" / f"{vid:0>8}.npy").astype(np.float32)
+        if conf.dtype == np.uint8 or conf.max() > 1.5:
+            conf = conf / 255.0
+        K, E, _, _, _ = read_cam_file(scan_dir / "cams" / f"{vid:0>8}_cam.txt")
+        return depth, conf, build_camera_stack(K, E)
+
+    all_pts, all_cols = [], []
+    for ref, srcs in pair:
+        srcs = srcs[: args.fusion_view]
+        if not srcs:
+            continue
+        try:
+            ref_depth, ref_conf, ref_cam = load_view(ref)
+            views = [load_view(s) for s in srcs]
+        except FileNotFoundError:
+            continue
+        src_depths = np.stack([v[0] for v in views])
+        src_confs = np.stack([v[1] for v in views])
+        src_cams = np.stack([v[2] for v in views])
+
+        if args.filter_method == "dpcd":
+            pts, mask = dpcd_fuse(
+                jnp.asarray(ref_depth), jnp.asarray(ref_conf),
+                jnp.asarray(src_depths), jnp.asarray(ref_cam),
+                jnp.asarray(src_cams), conf_thresh=args.conf,
+                dist_base=args.dist_base, rel_diff_base=args.rel_diff_base)
+        else:
+            pts, mask = pcd_fuse(
+                jnp.asarray(ref_depth), jnp.asarray(ref_conf),
+                jnp.asarray(src_depths), jnp.asarray(src_confs),
+                jnp.asarray(ref_cam), jnp.asarray(src_cams),
+                conf_thresh=args.conf, img_dist_thresh=args.thres_disp,
+                depth_thresh=0.01, vthresh=args.thres_view)
+        mask = np.asarray(mask)
+        pts = np.asarray(pts)[mask]
+        all_pts.append(pts)
+        # colors from the saved ref image if present, else gray
+        img_path = Path(args.testpath) / scan / "images" / f"{ref:0>8}.jpg"
+        if img_path.exists():
+            from mvsformerplusplus_tpu.data.io import read_image
+            import cv2
+            img = read_image(img_path)
+            img = cv2.resize(img, (mask.shape[1], mask.shape[0]))
+            all_cols.append((img[mask] * 255).astype(np.uint8))
+        else:
+            all_cols.append(np.full((len(pts), 3), 128, np.uint8))
+        logging.info("%s ref %d: %d pts (%.1f%% kept)", scan, ref, len(pts),
+                     100 * mask.mean())
+
+    if all_pts:
+        pts = np.concatenate(all_pts)
+        cols = np.concatenate(all_cols)
+        out = Path(args.outdir) / f"{scan}.ply"
+        write_ply(out, pts, cols)
+        logging.info("wrote %s (%d points)", out, len(pts))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--dataset", default="dtu", choices=["dtu", "tt", "eth3d", "custom"])
+    p.add_argument("--testpath", required=True)
+    p.add_argument("--testlist", required=True)
+    p.add_argument("--outdir", default="outputs")
+    p.add_argument("--ckpt", default=None, help="checkpoint dir (CheckpointManager)")
+    p.add_argument("--num_view", type=int, default=5)
+    p.add_argument("--numdepth", type=int, default=192)
+    p.add_argument("--max_h", type=int, default=1152)
+    p.add_argument("--max_w", type=int, default=1536)
+    p.add_argument("--interval_scale", type=float, default=1.06)
+    p.add_argument("--tmp", type=float, nargs=4, default=[5.0, 5.0, 5.0, 1.0])
+    p.add_argument("--filter_method", default="dpcd", choices=["dpcd", "pcd", "none"])
+    p.add_argument("--conf", type=float, default=0.5)
+    p.add_argument("--thres_view", type=int, default=4)
+    p.add_argument("--thres_disp", type=float, default=1.0)
+    p.add_argument("--dist_base", type=float, default=4.0)
+    p.add_argument("--rel_diff_base", type=float, default=1300.0)
+    p.add_argument("--fusion_view", type=int, default=10)
+    p.add_argument("--rank", type=int, default=0)
+    p.add_argument("--world", type=int, default=1)
+    p.add_argument("--skip_depth", action="store_true", help="fusion only")
+    args = p.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+    from mvsformerplusplus_tpu.config import load_config
+    cfg = load_config(args.config)
+
+    if not args.skip_depth:
+        scans = save_depths(args, cfg)
+    else:
+        with open(args.testlist) as f:
+            scans = [l.strip() for l in f if l.strip()][args.rank::args.world]
+
+    if args.filter_method != "none":
+        for scan in scans:
+            fuse_scan(args, scan)
+
+
+if __name__ == "__main__":
+    main()

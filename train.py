@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Training CLI — mirrors the reference's `python train.py --config ...`
+surface (reference train.py:210-265) on the TPU stack.
+
+Distribution: instead of `--DDP` + mp.spawn per GPU, pass `--mesh data,cv`
+sizes; a single process drives all local devices through sharded jit
+(multi-host: run one process per host under jax.distributed).
+"""
+import argparse
+import logging
+import sys
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("-c", "--config", required=True, help="JSON config path")
+    p.add_argument("-r", "--resume", action="store_true")
+    p.add_argument("--finetune", action="store_true")
+    p.add_argument("--dtu_model_path", default=None)
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--save_dir", default=None)
+    p.add_argument("--mesh", default=None,
+                   help="data,cv mesh sizes, e.g. 4,2 (default: all devices data-parallel)")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("-o", "--override", action="append", default=[],
+                   help="config override path=value (reference 'a;b;c' syntax)")
+    args = p.parse_args()
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvsformerplusplus_tpu.config import build_model, load_config, parse_override
+    from mvsformerplusplus_tpu.data.loader import TrainLoader
+    from mvsformerplusplus_tpu.data.mvs_dataset import (
+        BlendedTrainDataset, DTUTrainDataset, MultiScaleArgs)
+    from mvsformerplusplus_tpu.parallel.mesh import make_mesh
+    from mvsformerplusplus_tpu.train.optim import make_optimizer
+    from mvsformerplusplus_tpu.train.trainer import Trainer
+
+    overrides = dict(parse_override(o) for o in args.override)
+    cfg = load_config(args.config, overrides)
+    if args.epochs:
+        cfg.set_path("trainer.epochs", args.epochs)
+    if args.batch_size:
+        cfg.set_path("data_loader.0.args.batch_size", args.batch_size)
+
+    dl_cfg = cfg["data_loader"][0]["args"]
+    datapath = args.data_path or dl_cfg["datapath"]
+    ms = dl_cfg.get("multi_scale_args", {})
+    msa = MultiScaleArgs(
+        scales=tuple(map(tuple, ms.get("scales", MultiScaleArgs.scales))),
+        resize_range=tuple(ms.get("resize_range", (1.0, 1.2))),
+        scale_batch_map=ms.get("scale_batch_map", {}),
+    )
+
+    ds_cls = DTUTrainDataset if cfg["data_loader"][0]["type"] == "DTULoader" else BlendedTrainDataset
+    train_ds = ds_cls(
+        datapath, dl_cfg["train_data_list"], mode="train",
+        nviews=dl_cfg.get("nviews", 5), ndepths=dl_cfg.get("num_depths", 192),
+        interval_scale=dl_cfg.get("interval_scale", 1.06),
+        random_crop=dl_cfg.get("random_crop", True),
+        augment=dl_cfg.get("augment", True),
+        aug_args=dl_cfg.get("aug_args"),
+        resize_range=msa.resize_range,
+    )
+
+    n_dev = len(jax.devices())
+    if args.mesh:
+        n_data, n_cv = map(int, args.mesh.split(","))
+    else:
+        n_data, n_cv = n_dev, 1
+    mesh = make_mesh(n_data=n_data, n_cv=n_cv)
+
+    batch_size = dl_cfg.get("batch_size", 4)
+    loader = TrainLoader(
+        train_ds, batch_size=batch_size, scales=msa.scales,
+        scale_batch_map=msa.scale_batch_map,
+        rank=jax.process_index(), world=jax.process_count(),
+        num_workers=dl_cfg.get("num_workers", 4),
+    )
+
+    opt_cfg = cfg["optimizer"]["args"]
+    epochs = cfg["trainer"]["epochs"]
+    tx = make_optimizer(
+        lr=opt_cfg.get("lr", 1e-3), vit_lr=opt_cfg.get("vit_lr", 3e-5),
+        weight_decay=opt_cfg.get("weight_decay", 0.01),
+        min_lr_frac=opt_cfg.get("min_lr", 0.01),
+        warmup_steps=opt_cfg.get("warmup_steps", 500),
+        total_steps=epochs * max(1, loader.steps_per_epoch()),
+        freeze_vit=cfg.get_path("arch.args.freeze_vit", True),
+    )
+
+    model = build_model(cfg, dtype=jnp.bfloat16, shard_views=(n_cv > 1))
+    trainer = Trainer(
+        model, loader, save_dir=args.save_dir or cfg["trainer"].get("save_dir", "saved"),
+        epochs=epochs, tx=tx, config=dict(cfg),
+        monitor=cfg["trainer"].get("monitor", "min mean_error"),
+        early_stop=cfg["trainer"].get("early_stop", 10),
+        logging_every=cfg["trainer"].get("logging_every", 100),
+        mesh=mesh,
+    )
+
+    state = None
+    if args.resume:
+        # template state needed for orbax restore; build from first batch
+        for batch, _ in loader.epoch(0):
+            state = trainer.init_state(batch)
+            break
+        state, _ = trainer.resume(state)
+
+    with jax.sharding.set_mesh(mesh):
+        trainer.train(state)
+
+
+if __name__ == "__main__":
+    main()
