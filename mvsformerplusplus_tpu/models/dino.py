@@ -118,7 +118,10 @@ class DinoVisionTransformer(nn.Module):
         g = self.pretrain_grid
         if (h0, w0) != (g, g):
             patch_pe = pos_embed[:, 1:].reshape(1, g, g, self.embed_dim)
-            patch_pe = resize2d(patch_pe, h0, w0, method="cubic", align_corners=False)
+            # torch interpolates with scale_factor=(g0+0.1)/g — the +0.1 fudge
+            # changes the sample coordinates; match it exactly
+            patch_pe = resize2d(patch_pe, h0, w0, method="cubic", align_corners=False,
+                                scale_h=(h0 + 0.1) / g, scale_w=(w0 + 0.1) / g)
             patch_pe = patch_pe.reshape(1, h0 * w0, self.embed_dim)
         else:
             patch_pe = pos_embed[:, 1:]

@@ -32,12 +32,21 @@ Array = jax.Array
 
 
 @lru_cache(maxsize=None)
-def _interp_matrix_np(in_size: int, out_size: int, method: str, align_corners: bool) -> np.ndarray:
-    """[out_size, in_size] float32 row-stochastic interpolation matrix."""
-    if in_size == out_size:
+def _interp_matrix_np(in_size: int, out_size: int, method: str, align_corners: bool,
+                      scale: float = None) -> np.ndarray:
+    """[out_size, in_size] float32 row-stochastic interpolation matrix.
+
+    `scale`: explicit coordinate-transform scale, matching torch's
+    F.interpolate(scale_factor=s) semantics (src = (dst+0.5)/s - 0.5) —
+    subtly different from the size-ratio rule and needed e.g. for DINOv2's
+    pos-embed interpolation with its +0.1 fudge (dinov2.py:192-197).
+    """
+    if in_size == out_size and scale is None:
         return np.eye(out_size, dtype=np.float32)
     out_i = np.arange(out_size, dtype=np.float64)
-    if align_corners:
+    if scale is not None:
+        src = (out_i + 0.5) / scale - 0.5
+    elif align_corners:
         if out_size == 1:
             src = np.zeros_like(out_i)
         else:
@@ -82,24 +91,27 @@ def _interp_matrix_np(in_size: int, out_size: int, method: str, align_corners: b
     return mat.astype(np.float32)
 
 
-def interp_matrix(in_size: int, out_size: int, method: str = "linear", align_corners: bool = False) -> Array:
-    return jnp.asarray(_interp_matrix_np(in_size, out_size, method, align_corners))
+def interp_matrix(in_size: int, out_size: int, method: str = "linear",
+                  align_corners: bool = False, scale: float = None) -> Array:
+    return jnp.asarray(_interp_matrix_np(in_size, out_size, method, align_corners, scale))
 
 
-@partial(jax.jit, static_argnames=("out_h", "out_w", "method", "align_corners"))
-def resize2d(x: Array, out_h: int, out_w: int, method: str = "linear", align_corners: bool = False) -> Array:
+@partial(jax.jit, static_argnames=("out_h", "out_w", "method", "align_corners", "scale_h", "scale_w"))
+def resize2d(x: Array, out_h: int, out_w: int, method: str = "linear",
+             align_corners: bool = False, scale_h: float = None,
+             scale_w: float = None) -> Array:
     """Resize [..., H, W, C] to [..., out_h, out_w, C] via separable matmuls.
 
     Runs the interpolation in fp32 (matching the reference's `.to(float32)`
     before every interpolate) and casts back to the input dtype.
     """
     h, w = x.shape[-3], x.shape[-2]
-    if h == out_h and w == out_w:
+    if h == out_h and w == out_w and scale_h is None and scale_w is None:
         return x
     dtype = x.dtype
     xf = x.astype(jnp.float32)
-    mh = interp_matrix(h, out_h, method, align_corners)  # [out_h, h]
-    mw = interp_matrix(w, out_w, method, align_corners)  # [out_w, w]
+    mh = interp_matrix(h, out_h, method, align_corners, scale_h)  # [out_h, h]
+    mw = interp_matrix(w, out_w, method, align_corners, scale_w)  # [out_w, w]
     y = jnp.einsum("Oh,...hwc->...Owc", mh, xf, precision=jax.lax.Precision.HIGHEST)
     y = jnp.einsum("Pw,...hwc->...hPc", mw, y, precision=jax.lax.Precision.HIGHEST)
     return y.astype(dtype)
