@@ -149,7 +149,12 @@ class MVSTrainDataset:
         raise NotImplementedError
 
     def full_resolution(self) -> Tuple[int, int]:
-        raise NotImplementedError
+        """(H, W) of the raw images; peeked lazily from the first sample's
+        reference image so synthetic/cropped datasets work unmodified."""
+        if not hasattr(self, "_full_res"):
+            img, *_ = self.load_view(self.metas[0], self.metas[0][2], want_depth=False)
+            self._full_res = img.shape[:2]
+        return self._full_res
 
     def shuffle_src_views(self, src_views, rng):
         srcs = list(src_views)
@@ -253,9 +258,6 @@ class DTUTrainDataset(MVSTrainDataset):
             for light in range(7)
         ]
 
-    def full_resolution(self):
-        return (1200, 1600)
-
     def load_view(self, meta, vid, want_depth):
         scan, light_idx, _, _ = meta
         from .io import read_image
@@ -300,9 +302,6 @@ class BlendedTrainDataset(MVSTrainDataset):
             for ref, srcs in read_pair_file(pair_path):
                 if len(srcs) > 0:
                     self.metas.append((scan, 0, ref, srcs))
-
-    def full_resolution(self):
-        return (576, 768)
 
     def shuffle_src_views(self, src_views, rng):
         srcs = list(src_views[:7])  # top-7 then shuffle (reference :259-261)

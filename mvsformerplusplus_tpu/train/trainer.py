@@ -25,6 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+
+def _array_batch(batch):
+    """Strip non-array leaves (filenames, scan ids) before jit."""
+    return {k: v for k, v in batch.items()
+            if not isinstance(v, (str, list))}
+
 from .checkpoints import CheckpointManager
 from .metrics import depth_metrics
 from .optim import make_optimizer
@@ -95,7 +101,7 @@ class Trainer:
             for i, (batch, crop_hw) in enumerate(self.train_loader.epoch(epoch)):
                 if state is None:
                     state = self.init_state(batch)
-                state, logs = step_fn(state, batch)
+                state, logs = step_fn(state, _array_batch(batch))
                 if i % self.logging_every == 0:
                     loss = float(logs["loss"])
                     losses.append(loss)
@@ -127,7 +133,7 @@ class Trainer:
         sums: Dict[str, float] = {}
         n = 0
         for batch, _ in self.val_loader.epoch(0):
-            m = eval_fn(state, batch)
+            m = eval_fn(state, _array_batch(batch))
             for k, v in m.items():
                 if k in ("depth", "confidence"):
                     continue

@@ -1,0 +1,118 @@
+"""End-to-end train CLI smoke: synthetic DTU-format training data on disk ->
+train.py runs an epoch of steps and writes checkpoints."""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def make_synthetic_dtu(root: Path, n_scans=1, n_views=5, n_lights=2,
+                       h=256, w=320):
+    """Mimic the DTU training layout: Cameras/pair.txt + per-view cam files,
+    Rectified_raw images, Depths_raw GT."""
+    from PIL import Image
+
+    from mvsformerplusplus_tpu.data.io import save_cam_file, save_pair_file
+    from mvsformerplusplus_tpu.data.mvs_dataset import DTUTrainDataset  # noqa
+
+    rng = np.random.RandomState(0)
+    (root / "Cameras").mkdir(parents=True)
+    pairs = []
+    for v in range(n_views):
+        ang = 0.01 * v
+        c, s = np.cos(ang), np.sin(ang)
+        ext = np.eye(4, dtype=np.float32)
+        ext[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        ext[0, 3] = 0.02 * v
+        intr = np.array([[400.0, 0, w / 2], [0, 400.0, h / 2], [0, 0, 1]], np.float32)
+        save_cam_file(root / "Cameras" / f"{v:0>8}_cam.txt", intr, ext, 2.5, 0.05)
+        pairs.append((v, [(s_, 10.0) for s_ in range(n_views) if s_ != v]))
+    save_pair_file(root / "Cameras" / "pair.txt", pairs)
+
+    scans = [f"scan{i + 1}" for i in range(n_scans)]
+    for scan in scans:
+        (root / "Rectified_raw" / scan).mkdir(parents=True)
+        (root / "Depths_raw" / scan).mkdir(parents=True)
+        from mvsformerplusplus_tpu.data.io import save_pfm
+
+        for v in range(n_views):
+            for light in range(n_lights):
+                img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+                Image.fromarray(img).save(
+                    root / "Rectified_raw" / scan / f"rect_{v + 1:0>3}_{light}_r5000.png")
+            depth = rng.uniform(3.0, 7.0, (h, w)).astype(np.float32)
+            save_pfm(root / "Depths_raw" / scan / f"depth_map_{v:0>4}.pfm", depth)
+            mask = (rng.rand(h, w) > 0.2).astype(np.uint8) * 255
+            Image.fromarray(mask).save(
+                root / "Depths_raw" / scan / f"depth_visual_{v:0>4}.png")
+    (root / "train.txt").write_text("\n".join(scans) + "\n")
+    return scans
+
+
+@pytest.mark.slow
+def test_train_cli_end_to_end(tmp_path, monkeypatch):
+    # DTU layout expects 7 lights; generate all 7 (small images keep it fast)
+    data = tmp_path / "dtu"
+    make_synthetic_dtu(data, n_lights=7)
+
+    cfg = {
+        "name": "smoke",
+        "arch": {"args": {
+            "model_type": "casmvs",
+            "feat_chs": [4, 8, 16, 32],
+            "base_ch": [4, 4, 4, 4],
+            "ndepths": [8, 4, 4, 4],
+            "depth_interals_ratio": [4.0, 2.67, 1.5, 1.0],
+            "depth_type": ["ce", "ce", "ce", "ce"],
+            "inverse_depth": True,
+            "cost_reg_type": ["Normal", "Normal", "Normal", "Normal"],
+        }},
+        "data_loader": [{
+            "type": "DTULoader",
+            "args": {
+                "datapath": str(data),
+                "train_data_list": str(data / "train.txt"),
+                "mode": "train",
+                "nviews": 3,
+                "num_depths": 32,
+                "interval_scale": 1.06,
+                "batch_size": 2,
+                "random_crop": True,
+                "augment": True,
+                "num_workers": 2,
+                "multi_scale_args": {
+                    "scales": [[128, 192]],
+                    "resize_range": [1.0, 1.1],
+                    "scale_batch_map": {"128": 2},
+                },
+            },
+        }],
+        "optimizer": {"args": {"lr": 1e-3, "warmup_steps": 2, "min_lr": 0.01,
+                               "weight_decay": 0.01}},
+        "trainer": {"epochs": 1, "save_dir": str(tmp_path / "saved"),
+                    "logging_every": 1, "monitor": "min mean_error",
+                    "early_stop": 10},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               PYTHONPATH=str(REPO))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "train.py"), "-c", str(cfg_path),
+         "--save_dir", str(tmp_path / "saved")],
+        capture_output=True, text=True, env=env, timeout=540, cwd=str(REPO))
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-3000:])
+    # checkpoints written
+    ckpt_dir = tmp_path / "saved" / "checkpoints"
+    assert (ckpt_dir / "meta.json").exists(), list((tmp_path / "saved").rglob("*"))
+    meta = json.loads((ckpt_dir / "meta.json").read_text())
+    assert meta["last_epoch"] == 0
+    # loss logged and finite
+    assert "loss" in out.stderr or "loss" in out.stdout
