@@ -118,9 +118,12 @@ class StageNet(nn.Module):
         flat_ref_proj = jnp.repeat(ref_proj, nsrc, axis=0)
         flat_depth = jnp.repeat(depth_values, nsrc, axis=0)
 
+        # src features stay in model dtype through the gather (bilinear_sample
+        # gathers in input dtype and blends in f32 — the fp32 island starts at
+        # the blend/correlation, reference models/cost_volume.py:64)
         warped, _ = homography_warp(
-            flat_src.astype(jnp.float32), flat_proj, flat_ref_proj, flat_depth
-        )  # [B·(V-1), D, H, W, C]
+            flat_src, flat_proj, flat_ref_proj, flat_depth
+        )  # [B·(V-1), D, H, W, C] f32
         flat_ref = jnp.repeat(ref_feat, nsrc, axis=0)
         corr = groupwise_correlation(warped, flat_ref, self.groups)  # [.., G]
 

@@ -94,12 +94,15 @@ def make_train_step(
     return step
 
 
-def make_accum_train_step(model, tx, n_micro: int, **loss_kwargs) -> Callable:
+def make_accum_train_step(model, tx, n_micro: int,
+                          depth_types: Sequence[str] = ("ce", "ce", "ce", "ce"),
+                          dlossw: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
+                          inverse_depth: bool = True,
+                          clip_func: Optional[str] = "dynamic") -> Callable:
     """Gradient-accumulated step: batch leaves carry a leading micro axis
     [n_micro, B_micro, ...]; grads averaged over micro-batches before one
     optimizer update (≡ reference trainer micro-batch loop,
     trainer/mvsformer_trainer.py:100-149)."""
-    base = make_train_step(model, tx, **loss_kwargs)
 
     def loss_fn(params, batch_stats, batch):
         outputs, updates = model.apply(
@@ -110,7 +113,8 @@ def make_accum_train_step(model, tx, n_micro: int, **loss_kwargs) -> Callable:
         depth_interval = batch["depth_values"][:, 1] - batch["depth_values"][:, 0]
         total, loss_dict = multi_stage_loss(
             outputs, batch["depth_gt"], batch["mask"], depth_interval,
-            **{k: v for k, v in loss_kwargs.items()},
+            depth_types=depth_types, dlossw=dlossw,
+            inverse_depth=inverse_depth, clip_func=clip_func,
         )
         return total, (updates["batch_stats"], loss_dict)
 

@@ -1,12 +1,16 @@
-"""Trainer: epoch loop, shape-bucketed compilation cache, validation with
-global metric reduction, checkpointing, early stop.
+"""Trainer: epoch loop, shape-bucketed compilation cache, micro-batch
+gradient accumulation, validation with global metric reduction,
+checkpointing, early stop.
 
 Re-design of reference trainer/mvsformer_trainer.py + base/base_trainer.py:
 
-- per-crop-scale micro-batching (scale_batch_map) becomes per-bucket jit
-  cache entries: each (crop_h, crop_w) bucket compiles once and is reused —
-  the schedule guarantees every host steps the same bucket;
-- bf16 compute needs no GradScaler (reference fp16 scaler machinery,
+- per-crop-scale micro-batching (scale_batch_map,
+  trainer/mvsformer_trainer.py:100-149) maps to a lax.scan
+  gradient-accumulation step: large crops split the host batch into
+  micro-batches, one optimizer update per global batch either way;
+- each (crop_h, crop_w, n_micro) bucket compiles once and is reused — the
+  shape schedule guarantees every host steps the same bucket;
+- bf16 compute needs no GradScaler (the reference's fp16 scaler machinery,
   trainer:146-181, is dropped — bf16 has fp32 range);
 - validation metrics are jnp means under the sharded step — globally exact
   without explicit all_reduce (reference :240-252);
@@ -25,27 +29,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils.logging import ScalarWriter
+from .checkpoints import CheckpointManager
+from .metrics import depth_metrics
+from .optim import make_optimizer
+from .step import TrainState, make_accum_train_step, make_eval_step, make_train_step
+
+log = logging.getLogger("mvsformerplusplus_tpu")
+
 
 def _array_batch(batch):
     """Strip non-array leaves (filenames, scan ids) before jit."""
     return {k: v for k, v in batch.items()
             if not isinstance(v, (str, list))}
 
-from .checkpoints import CheckpointManager
-from .metrics import depth_metrics
-from .optim import make_optimizer
-from .step import TrainState, make_eval_step, make_train_step
 
-log = logging.getLogger("mvsformerplusplus_tpu")
+def _split_micro(batch, n_micro: int):
+    """[B, ...] leaves -> [n_micro, B // n_micro, ...]."""
+    return jax.tree.map(
+        lambda x: np.asarray(x).reshape(n_micro, x.shape[0] // n_micro, *x.shape[1:]),
+        batch,
+    )
 
 
 class Trainer:
     def __init__(self, model, train_loader, val_loader=None, *,
                  save_dir="saved", epochs: int = 15, tx=None,
                  loss_kwargs: Optional[dict] = None,
+                 scale_batch_map: Optional[Dict[str, int]] = None,
                  monitor: str = "min mean_error", early_stop: int = 10,
                  logging_every: int = 100, config: Optional[dict] = None,
-                 mesh=None):
+                 mesh=None, use_tensorboard: bool = False):
         self.model = model
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -53,21 +67,40 @@ class Trainer:
         self.tx = tx if tx is not None else make_optimizer(
             total_steps=epochs * max(1, train_loader.steps_per_epoch()))
         self.loss_kwargs = loss_kwargs or {}
+        self.scale_batch_map = scale_batch_map or {}
         self.monitor_mode, self.monitor_key = monitor.split()
         self.early_stop = early_stop
         self.logging_every = logging_every
         self.config = config
         self.mesh = mesh
-        self.ckpt = CheckpointManager(Path(save_dir) / "checkpoints")
-        self._step_fn = None
+        self.save_dir = Path(save_dir)
+        self.ckpt = CheckpointManager(self.save_dir / "checkpoints")
+        self.writer = ScalarWriter(self.save_dir, use_tensorboard)
+        self._plain_step = None
+        self._accum_steps: Dict[int, Any] = {}
         self._eval_fn = None
+        self.global_step = 0
 
     # -- compiled steps (cached per bucket automatically by jax.jit) --------
-    def _train_step(self):
-        if self._step_fn is None:
-            step = make_train_step(self.model, self.tx, **self.loss_kwargs)
-            self._step_fn = jax.jit(step, donate_argnums=(0,))
-        return self._step_fn
+    def _step_for(self, n_micro: int):
+        if n_micro <= 1:
+            if self._plain_step is None:
+                step = make_train_step(self.model, self.tx, **self.loss_kwargs)
+                self._plain_step = jax.jit(step, donate_argnums=(0,))
+            return self._plain_step
+        if n_micro not in self._accum_steps:
+            step = make_accum_train_step(self.model, self.tx, n_micro,
+                                         **self.loss_kwargs)
+            self._accum_steps[n_micro] = jax.jit(step, donate_argnums=(0,))
+        return self._accum_steps[n_micro]
+
+    def _micro_count(self, crop_hw, batch_size: int) -> int:
+        micro = self.scale_batch_map.get(str(crop_hw[0]))
+        if not micro or micro >= batch_size:
+            return 1
+        while batch_size % micro != 0:  # keep even splits
+            micro -= 1
+        return batch_size // micro
 
     def _eval_step(self):
         if self._eval_fn is None:
@@ -80,6 +113,8 @@ class Trainer:
                 r, sample_batch["imgs"], sample_batch["cams"],
                 sample_batch["depth_values"], train=True)
         )(jax.random.PRNGKey(0))
+        n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(variables["params"]))
+        log.info("initialized model: %.2fM params", n_params / 1e6)
         return TrainState.create(variables, self.tx)
 
     def resume(self, state: TrainState) -> tuple:
@@ -90,23 +125,32 @@ class Trainer:
         except FileNotFoundError:
             return state, 0
 
-    def train(self, state: Optional[TrainState] = None) -> TrainState:
-        start_epoch = 0
+    def train(self, state: Optional[TrainState] = None,
+              start_epoch: int = 0) -> TrainState:
         not_improved = 0
-        step_fn = self._train_step()
 
         for epoch in range(start_epoch, self.epochs):
             t0 = time.time()
-            losses = []
+            n_steps = 0
             for i, (batch, crop_hw) in enumerate(self.train_loader.epoch(epoch)):
                 if state is None:
                     state = self.init_state(batch)
-                state, logs = step_fn(state, _array_batch(batch))
+                batch = _array_batch(batch)
+                bsz = batch["imgs"].shape[0]
+                n_micro = self._micro_count(crop_hw, bsz)
+                if n_micro > 1:
+                    batch = _split_micro(batch, n_micro)
+                state, logs = self._step_for(n_micro)(state, batch)
+                n_steps += 1
+                self.global_step += 1
                 if i % self.logging_every == 0:
                     loss = float(logs["loss"])
-                    losses.append(loss)
-                    log.info("epoch %d step %d crop %s loss %.4f gnorm %.3f",
-                             epoch, i, crop_hw, loss, float(logs["grad_norm"]))
+                    log.info("epoch %d step %d crop %s micro %d loss %.4f gnorm %.3f",
+                             epoch, i, crop_hw, n_micro, loss,
+                             float(logs["grad_norm"]))
+                    self.writer.write("train", {
+                        "loss": loss, "grad_norm": float(logs["grad_norm"]),
+                    }, self.global_step)
             train_time = time.time() - t0
 
             val_metrics = {}
@@ -114,12 +158,15 @@ class Trainer:
                 val_metrics = self.validate(state)
                 log.info("epoch %d val %s", epoch,
                          {k: round(float(v), 4) for k, v in val_metrics.items()})
+                self.writer.write("val", val_metrics, self.global_step)
 
             monitor_value = float(val_metrics.get(self.monitor_key, np.nan))
             is_best = self.ckpt.save(
                 epoch, state, config=self.config,
                 monitor_value=None if np.isnan(monitor_value) else monitor_value)
-            log.info("epoch %d done in %.1fs best=%s", epoch, train_time, is_best)
+            log.info("epoch %d done: %d steps in %.1fs (%.2f steps/s) best=%s",
+                     epoch, n_steps, train_time,
+                     n_steps / max(train_time, 1e-9), is_best)
 
             if not np.isnan(monitor_value):
                 not_improved = 0 if is_best else not_improved + 1

@@ -48,8 +48,15 @@ def save_depths(args, cfg):
     model = build_model(cfg, dtype=jnp.bfloat16)
     tmp = tuple(args.tmp)
 
-    fwd = jax.jit(lambda v, i, c, d: model.apply(
-        v, i, c, d, tmp=tmp, train=False))
+    def _forward(v, i, c, d):
+        out = model.apply(v, i, c, d, tmp=tmp, train=False)
+        if args.conf_choose == "stage4":
+            conf = out["stage4"]["photometric_confidence"]
+        else:
+            conf = out["photometric_confidence"]
+        return out["refined_depth"], conf
+
+    fwd = jax.jit(_forward)
 
     variables = None
     times = []
@@ -79,9 +86,9 @@ def save_depths(args, cfg):
                     r, imgs, cams, dv, train=False))(jax.random.PRNGKey(0))
 
         t0 = time.time()
-        out = fwd(variables, imgs, cams, dv)
-        depth = np.asarray(out["refined_depth"][0], np.float32)
-        conf = np.asarray(out["photometric_confidence"][0], np.float32)
+        depth_dev, conf_dev = fwd(variables, imgs, cams, dv)
+        depth = np.asarray(depth_dev[0], np.float32)
+        conf = np.asarray(conf_dev[0], np.float32)
         times.append(time.time() - t0)
 
         scan = sample["scan"]
@@ -137,7 +144,18 @@ def fuse_scan(args, scan):
         src_confs = np.stack([v[1] for v in views])
         src_cams = np.stack([v[2] for v in views])
 
-        if args.filter_method == "dpcd":
+        if args.filter_method == "gipuma":
+            # gipuma/fusibile-equivalent consistency count (reference
+            # misc/gipuma.py + README disp_threshold/num_consistent): the
+            # static filter with pixel-distance = disp_threshold and
+            # vthresh = num_consistent + 1 (count excludes the ref view)
+            pts, mask = pcd_fuse(
+                jnp.asarray(ref_depth), jnp.asarray(ref_conf),
+                jnp.asarray(src_depths), jnp.asarray(src_confs),
+                jnp.asarray(ref_cam), jnp.asarray(src_cams),
+                conf_thresh=args.conf, img_dist_thresh=args.disp_threshold,
+                depth_thresh=0.01, vthresh=args.num_consistent + 1)
+        elif args.filter_method == "dpcd":
             pts, mask = dpcd_fuse(
                 jnp.asarray(ref_depth), jnp.asarray(ref_conf),
                 jnp.asarray(src_depths), jnp.asarray(ref_cam),
@@ -188,7 +206,14 @@ def main():
     p.add_argument("--max_w", type=int, default=1536)
     p.add_argument("--interval_scale", type=float, default=1.06)
     p.add_argument("--tmp", type=float, nargs=4, default=[5.0, 5.0, 5.0, 1.0])
-    p.add_argument("--filter_method", default="dpcd", choices=["dpcd", "pcd", "none"])
+    p.add_argument("--conf_choose", default="mean", choices=["mean", "stage4"],
+                   help="confidence source (reference test_tt.py conf_choose)")
+    p.add_argument("--filter_method", default="dpcd",
+                   choices=["dpcd", "pcd", "gipuma", "none"])
+    p.add_argument("--disp_threshold", type=float, default=0.1,
+                   help="gipuma mode: reprojection pixel-distance threshold")
+    p.add_argument("--num_consistent", type=int, default=2,
+                   help="gipuma mode: min consistent source views")
     p.add_argument("--conf", type=float, default=0.5)
     p.add_argument("--thres_view", type=int, default=4)
     p.add_argument("--thres_disp", type=float, default=1.0)

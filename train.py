@@ -9,6 +9,7 @@ sizes; a single process drives all local devices through sharded jit
 import argparse
 import logging
 import sys
+from pathlib import Path
 
 import numpy as np
 
@@ -85,6 +86,21 @@ def main():
         num_workers=dl_cfg.get("num_workers", 4),
     )
 
+    val_loader = None
+    val_list = dl_cfg.get("val_data_list")
+    if val_list and Path(val_list).exists():
+        val_ds = ds_cls(
+            datapath, val_list, mode="val",
+            nviews=dl_cfg.get("nviews", 5), ndepths=dl_cfg.get("num_depths", 192),
+            interval_scale=dl_cfg.get("interval_scale", 1.06),
+        )
+        val_loader = TrainLoader(
+            val_ds, batch_size=1,
+            scales=[(dl_cfg.get("height", 1152), dl_cfg.get("width", 1536))],
+            rank=jax.process_index(), world=jax.process_count(),
+            num_workers=2,
+        )
+
     opt_cfg = cfg["optimizer"]["args"]
     epochs = cfg["trainer"]["epochs"]
     tx = make_optimizer(
@@ -97,13 +113,23 @@ def main():
     )
 
     model = build_model(cfg, dtype=jnp.bfloat16, shard_views=(n_cv > 1))
+    loss_cfg = cfg.get_path("arch.loss", {}) or {}
     trainer = Trainer(
-        model, loader, save_dir=args.save_dir or cfg["trainer"].get("save_dir", "saved"),
+        model, loader, val_loader,
+        save_dir=args.save_dir or cfg["trainer"].get("save_dir", "saved"),
         epochs=epochs, tx=tx, config=dict(cfg),
+        loss_kwargs=dict(
+            depth_types=tuple(cfg.get_path("arch.args.depth_type", ("ce",) * 4)),
+            dlossw=tuple(loss_cfg.get("dlossw", (1.0,) * 4)),
+            inverse_depth=cfg.get_path("arch.args.inverse_depth", True),
+            clip_func=loss_cfg.get("clip_func", "dynamic"),
+        ),
+        scale_batch_map=msa.scale_batch_map,
         monitor=cfg["trainer"].get("monitor", "min mean_error"),
         early_stop=cfg["trainer"].get("early_stop", 10),
         logging_every=cfg["trainer"].get("logging_every", 100),
         mesh=mesh,
+        use_tensorboard=cfg["trainer"].get("tensorboard", False),
     )
 
     state = None
