@@ -21,6 +21,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from . import native
 from .io import build_camera_stack, read_cam_file, read_pair_file, read_pfm
 from .transforms import (
     apply_color_jitter,
@@ -218,8 +219,13 @@ class MVSTrainDataset:
                 img, depth, K, mask = crop(img, depth, K, mask, crop_h, crop_w, oy, ox)
 
             if jitter is not None:
-                img = apply_color_jitter(img, jitter)
-            imgs.append(normalize_imagenet(img))
+                img = apply_color_jitter(img, jitter, include_gamma=False)
+                gamma = jitter["gamma"]
+            else:
+                gamma = 0.0
+            # fused (gamma +) ImageNet-normalize — native C pass when built
+            imgs.append(native.crop_normalize(
+                img, 0, 0, img.shape[0], img.shape[1], gamma))
             cams.append(stage_cameras(K, E))
 
         sample = {

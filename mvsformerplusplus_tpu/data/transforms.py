@@ -59,8 +59,12 @@ def _adjust_hue(img, f):
     return out.astype(np.float32) / 255.0
 
 
-def apply_color_jitter(img: np.ndarray, params: dict) -> np.ndarray:
-    """img [H, W, 3] in [0,1]; params from sample_jitter_params."""
+def apply_color_jitter(img: np.ndarray, params: dict,
+                       include_gamma: bool = True) -> np.ndarray:
+    """img [H, W, 3] in [0,1]; params from sample_jitter_params.
+
+    include_gamma=False leaves the gamma step to a fused downstream pass
+    (native crop_normalize)."""
     fns = [
         lambda x: _adjust_brightness(x, params["brightness"]),
         lambda x: _adjust_contrast(x, params["contrast"]),
@@ -69,8 +73,9 @@ def apply_color_jitter(img: np.ndarray, params: dict) -> np.ndarray:
     ]
     for i in params["order"]:
         img = fns[i](img)
-    # gamma (reference RandomGamma, clip_image=True)
-    img = np.clip(img, 0, 1) ** params["gamma"]
+    if include_gamma:
+        # gamma (reference RandomGamma, clip_image=True)
+        img = np.clip(img, 0, 1) ** params["gamma"]
     return np.clip(img, 0, 1).astype(np.float32)
 
 

@@ -78,24 +78,42 @@ def bilinear_sample(img: Array, coords: Array) -> Array:
     wx0, wx1 = axis_weights(x0, fx, start_x, w)
     wy0, wy1 = axis_weights(y0, fy, start_y, h)
 
+    # Pre-shifted operand: AUG[y, x] stacks the 2x2 neighbourhood at (y, x)
+    # into 4C contiguous channels, so the bilinear fetch is a PLAIN point
+    # gather of a [4C] vector — one index per sample. A patch-shaped gather
+    # ([N, 2, 2, C] output) forces TPU layout to pad C up to the 128-lane
+    # tile (16x HBM at C=8); the folded 4C trailing dim keeps lanes >= 4C
+    # dense. AUG costs 4x the SOURCE image (tiny next to the volume).
+    img_p = jnp.pad(img, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    aug = jnp.concatenate(
+        [img_p[:, :-1, :-1], img_p[:, :-1, 1:],
+         img_p[:, 1:, :-1], img_p[:, 1:, 1:]], axis=-1,
+    )  # [B, H, W, 4C]; starts are clamped to [0, size-2] so the zero-pad
+    #    row/col is never addressed with nonzero weight
+
     starts = jnp.stack([start_y, start_x], axis=-1)  # [B, N, 2]
     dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(2, 3, 4),          # patch dims (2, 2, C) in the output
-        collapsed_slice_dims=(),
+        offset_dims=(2,),               # the 4C vector
+        collapsed_slice_dims=(1, 2),
         start_index_map=(1, 2),         # indices address (H, W)
         operand_batching_dims=(0,),
         start_indices_batching_dims=(0,),
     )
     patches = jax.lax.gather(
-        img, starts, dnums, slice_sizes=(1, 2, 2, c),
+        aug, starts, dnums, slice_sizes=(1, 1, 1, 4 * c),
         mode=jax.lax.GatherScatterMode.CLIP,
-    )  # [B, N, 2, 2, C]
+    )  # [B, N, 4C]
 
-    wy = jnp.stack([wy0, wy1], axis=-1)  # [B, N, 2]
-    wx = jnp.stack([wx0, wx1], axis=-1)
-    out = jnp.einsum("bnijc,bni,bnj->bnc", patches, wy, wx,
-                     preferred_element_type=jnp.float32)
-    return out.astype(jnp.float32).reshape(out_shape)
+    # explicit elementwise blend: fuses into a single f32 output loop, so
+    # the only materialized buffer is the gather itself
+    def term(k, wgt):
+        return patches[..., k * c:(k + 1) * c].astype(jnp.float32) * wgt[..., None]
+
+    out = (
+        term(0, wy0 * wx0) + term(1, wy0 * wx1)
+        + term(2, wy1 * wx0) + term(3, wy1 * wx1)
+    )  # [B, N, C]
+    return out.reshape(out_shape)
 
 
 def homography_warp(
