@@ -45,6 +45,9 @@ def main():
     import jax.numpy as jnp
 
     from mvsformerplusplus_tpu.models.mvsformer import DINOv2MVSNet
+    from mvsformerplusplus_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     imgs, cams, dv = make_dtu_eval_batch()
     model = DINOv2MVSNet(dtype=jnp.bfloat16, remat_stages=False)

@@ -25,6 +25,9 @@ def save_depths(args, cfg):
     import jax
     import jax.numpy as jnp
 
+    from mvsformerplusplus_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from mvsformerplusplus_tpu.config import build_model
     from mvsformerplusplus_tpu.data.eval_dataset import EvalDataset
     from mvsformerplusplus_tpu.data.io import save_cam_file, save_pfm

@@ -36,6 +36,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from mvsformerplusplus_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from mvsformerplusplus_tpu.config import build_model, load_config, parse_override
     from mvsformerplusplus_tpu.data.loader import TrainLoader
     from mvsformerplusplus_tpu.data.mvs_dataset import (
