@@ -70,3 +70,40 @@ def make_optimizer(
     if grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     return tx
+
+
+def vit_layer_decay_scales(layer_decay: float = 0.75, depth: int = 12):
+    """BEiT-style layer-wise LR scale per ViT sub-tree (reference
+    models/lr_decay.py:13-83; unused by the default configs, available for
+    unfrozen-ViT fine-tuning). Returns a label->scale mapping keyed by the
+    flax param-tree names of models/dino.py."""
+    num_layers = depth + 1
+    scales = [layer_decay ** (num_layers - i) for i in range(num_layers + 1)]
+    mapping = {"patch_embed": scales[0], "cls_token": scales[0],
+               "pos_embed": scales[0], "norm": scales[num_layers]}
+    for i in range(depth):
+        mapping[f"blocks_{i}"] = scales[i + 1]
+    return mapping
+
+
+def scale_vit_grads_by_layer(tx: optax.GradientTransformation,
+                             layer_decay: float = 0.75,
+                             depth: int = 12) -> optax.GradientTransformation:
+    """Wrap an optimizer with per-ViT-layer gradient scaling (applied before
+    the inner update, equivalent to per-group lr_scale)."""
+    scales = vit_layer_decay_scales(layer_decay, depth)
+
+    def scale_fn(path, g):
+        if _is_vit_path(path) and len(path) > 1:
+            key = getattr(path[1], "key", None)
+            return g * scales.get(key, 1.0)
+        return g
+
+    def init(params):
+        return tx.init(params)
+
+    def update(grads, state, params=None):
+        grads = jax.tree_util.tree_map_with_path(scale_fn, grads)
+        return tx.update(grads, state, params)
+
+    return optax.GradientTransformation(init, update)
