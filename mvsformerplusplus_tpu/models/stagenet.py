@@ -24,7 +24,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops.correlation import groupwise_correlation
 from ..ops.geometry import compose_projection
-from ..ops.grid_sample import homography_warp
+from ..ops.grid_sample import homography_warp, homography_warp_grouped
 from ..ops.sampling import conf_regression, depth_regression
 from .cost_reg import CostRegNet, CostRegNet3D, PureTransformerCostReg
 from .layers import ConvBnReLU
@@ -75,6 +75,12 @@ class StageNet(nn.Module):
     transformer_config: Optional[dict] = None
     model_th: int = 8
     shard_views: bool = False
+    # fine stages (ndepth <= grouped_warp_th) gather ONE [2, grouped_warp_kx]
+    # patch per pixel for the whole hypothesis band — 4-8x fewer gather
+    # indices (ops/grid_sample.py bilinear_sample_grouped); their bands span
+    # only a few px (measured <= ~12 on DTU eval geometry)
+    grouped_warp_th: int = 8
+    grouped_warp_kx: int = 16
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -111,31 +117,46 @@ class StageNet(nn.Module):
         ref_proj = projs[:, 0]
         src_projs = _constrain(projs[:, 1:], vspec)
 
-        # fold views into batch: [B·(V-1), ...] with the view axis leading the
-        # fold so a later reshape back to [B, V-1, ...] keeps sharding
-        flat_src = src_feats.reshape(b * nsrc, h, w, c)
-        flat_proj = src_projs.reshape(b * nsrc, 4, 4)
-        flat_ref_proj = jnp.repeat(ref_proj, nsrc, axis=0)
-        flat_depth = jnp.repeat(depth_values, nsrc, axis=0)
-
         # src features stay in model dtype through the gather (bilinear_sample
         # gathers in input dtype and blends in f32 — the fp32 island starts at
         # the blend/correlation, reference models/cost_volume.py:64)
-        warped, _ = homography_warp(
-            flat_src, flat_proj, flat_ref_proj, flat_depth
-        )  # [B·(V-1), D, H, W, C] f32
-        flat_ref = jnp.repeat(ref_feat, nsrc, axis=0)
-        corr = groupwise_correlation(warped, flat_ref, self.groups)  # [.., G]
+        def warp_one(src_feat_b, src_proj_b):
+            if self.ndepth <= self.grouped_warp_th:
+                warped, _ = homography_warp_grouped(
+                    src_feat_b, src_proj_b, ref_proj, depth_values,
+                    kx=self.grouped_warp_kx,
+                )
+            else:
+                warped, _ = homography_warp(
+                    src_feat_b, src_proj_b, ref_proj, depth_values
+                )  # [B, D, H, W, C] f32
+            corr_v = groupwise_correlation(warped, ref_feat, self.groups)
+            # entropy of the depth-softmax of the summed correlation
+            # (stop-grad, reference models/cost_volume.py:89-93)
+            sim = jax.lax.stop_gradient(jnp.sum(corr_v, axis=-1))
+            p = jax.nn.softmax(sim, axis=1)
+            entropy_v = -jnp.sum(p * jnp.log(p + 1e-7), axis=1)[..., None]
+            return corr_v, entropy_v
 
-        # entropy of the depth-softmax of the summed correlation (stop-grad,
-        # reference models/cost_volume.py:89-93)
-        sim = jax.lax.stop_gradient(jnp.sum(corr, axis=-1))
-        p = jax.nn.softmax(sim, axis=1)
-        entropy = -jnp.sum(p * jnp.log(p + 1e-7), axis=1)[..., None]  # [B(V-1),H,W,1]
-        vis = self.vis(entropy, train)  # [B·(V-1), H, W, 1]
+        src_feats_t = jnp.swapaxes(src_feats, 0, 1)  # [V-1, B, H, W, C]
+        src_projs_t = jnp.swapaxes(src_projs, 0, 1)
+        if self.shard_views:
+            # SPMD path: all views batched; the cv-sharding constraints make
+            # the view axis a parallel dimension and the final sum a psum
+            corr, entropy = jax.vmap(warp_one)(src_feats_t, src_projs_t)
+        else:
+            # single-shard path: process views SEQUENTIALLY — the warp's
+            # gathered-patch buffers at full resolution are the peak HBM
+            # consumer; lax.map bounds them to one view at a time
+            corr, entropy = jax.lax.map(
+                lambda args: warp_one(*args), (src_feats_t, src_projs_t))
+        # corr: [V-1, B, D, H, W, G]; entropy: [V-1, B, H, W, 1]
 
-        corr = _constrain(corr.reshape(b, nsrc, d, h, w, self.groups), vspec)
-        vis = _constrain(vis.reshape(b, nsrc, h, w, 1), vspec)
+        vis = self.vis(entropy.reshape(nsrc * b, h, w, 1), train)
+        corr = _constrain(
+            jnp.swapaxes(corr, 0, 1), vspec)  # [B, V-1, D, H, W, G]
+        vis = _constrain(
+            jnp.swapaxes(vis.reshape(nsrc, b, h, w, 1), 0, 1), vspec)
 
         volume_sum = jnp.sum(corr * vis[:, :, None], axis=1)  # psum over cv
         vis_sum = jnp.sum(vis, axis=1)

@@ -116,6 +116,90 @@ def bilinear_sample(img: Array, coords: Array) -> Array:
     return out.reshape(out_shape)
 
 
+def bilinear_sample_grouped(img: Array, coords: Array, kx: int = 16) -> Array:
+    """Bilinear sampling where a leading `group` axis of coords shares one
+    gathered patch per pixel.
+
+    Args:
+      img: [B, H, W, C].
+      coords: [B, G, N, 2] pixel-unit (x, y) — G coordinates per (batch,
+        pixel) that are spatially CLOSE (e.g. neighbouring depth hypotheses
+        of a fine cascade stage; their epipolar footprint spans a few px).
+      kx: patch width in pixels; all G samples whose 2x2 corners fall inside
+        the [3, kx] patch anchored at the group's min corner are exact (3
+        rows: even a sub-pixel y-spread can straddle an integer boundary, so
+        floor(y) spans two values and corners span three rows). Corners
+        outside the patch get weight 0 — the same zeros semantics as
+        out-of-image samples. (DTU/T&T fine-stage groups span <= ~12 px in x
+        and ~0 in y; callers pick kx with margin. tests/test_grid_sample.py
+        verifies exactness against the ungrouped path.)
+
+    Returns [B, G, N, C] fp32.
+
+    TPU rationale: gathers are index-bound. Grouping G depth slices onto one
+    row-contiguous (2, kx, C) patch divides index count by G and reads
+    contiguous kx·2C-channel rows (dense lanes: the 2-row dimension is
+    pre-folded into channels). The blend is a masked reduction over kx that
+    fuses; stage-4 of the DTU eval cascade drops from 28.3M to 7.1M indices.
+    """
+    b, h, w, c = img.shape
+    g = coords.shape[1]
+    n = coords.shape[2]
+
+    xy = coords.astype(jnp.float32)
+    x, y = xy[..., 0], xy[..., 1]  # [B, G, N]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    # per-pixel anchors from the group minima
+    ax = jnp.clip(jnp.min(x0, axis=1), 0, w - kx).astype(jnp.int32)  # [B, N]
+    ay = jnp.clip(jnp.min(y0, axis=1), 0, h - 3).astype(jnp.int32)
+
+    # fold a 3-row window into channels:
+    # AUGY[y, x] = [img[y, x], img[y+1, x], img[y+2, x]]
+    img_p = jnp.pad(img, ((0, 0), (0, 2), (0, 0), (0, 0)))
+    augy = jnp.concatenate(
+        [img_p[:, :-2], img_p[:, 1:-1], img_p[:, 2:]], axis=-1)  # [B,H,W,3C]
+
+    # flatten (W, 3C) so the gathered patch is ONE contiguous row of
+    # kx*3C channels — a multi-offset-dim gather (or any reshape of its
+    # output) gets a padded layout from the compiler (small trailing dims
+    # pad to the 128-lane tile, up to 8x HBM)
+    augy_flat = augy.reshape(b, h, w * 3 * c)
+    starts = jnp.stack([ay, ax * (3 * c)], axis=-1)  # [B, N, 2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2,),
+        collapsed_slice_dims=(1,),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    patch = jax.lax.gather(
+        augy_flat, starts, dnums, slice_sizes=(1, 1, kx * 3 * c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # [B, N, kx*3C] — dense lanes (>= 128 for every stage)
+
+    # blend: for each group member, its two corner columns and two corner
+    # rows select 4 of the kx*3 patch cells. The cell weights are equality
+    # tests against the true (unclamped) corner positions — exact bilinear
+    # with zeros for uncovered/out-of-image corners. Unrolled with STATIC
+    # channel slices (a [.., kx, 3, C] reshape would materialize a padded
+    # copy); XLA fuses the masked multiply-adds into one output loop.
+    dx = x0 - ax[:, None].astype(jnp.float32)  # [B, G, N]
+    dy = y0 - ay[:, None].astype(jnp.float32)
+    out = jnp.zeros((b, g, n, c), jnp.float32)
+    for k in range(kx):
+        wxk = jnp.where(dx == k, 1 - fx, jnp.where(dx == k - 1, fx, 0.0))
+        for r in range(3):
+            wyr = jnp.where(dy == r, 1 - fy, jnp.where(dy == r - 1, fy, 0.0))
+            wgt = wxk * wyr  # [B, G, N]
+            cell = patch[..., (k * 3 + r) * c:(k * 3 + r + 1) * c]  # [B, N, C]
+            out = out + cell.astype(jnp.float32)[:, None] * wgt[..., None]
+    return out
+
+
 def homography_warp(
     src_feat: Array,
     src_proj: Array,
@@ -146,6 +230,33 @@ def homography_warp(
         invalid = jax.lax.stop_gradient(invalid)
     warped = bilinear_sample(src_feat, coords)
     return warped, invalid
+
+
+def homography_warp_grouped(
+    src_feat: Array,
+    src_proj: Array,
+    ref_proj: Array,
+    depth_values: Array,
+    kx: int = 16,
+    stop_coord_grad: bool = True,
+):
+    """Plane-sweep warp with ONE patch gather per pixel covering ALL depth
+    hypotheses (see bilinear_sample_grouped). Exact when the per-pixel
+    epipolar footprint of the hypothesis band fits a [2, kx] patch — the fine
+    cascade stages' bands span a few pixels (their hypotheses are a narrow
+    re-centered band, ops/sampling.py schedule_inverse_range).
+
+    Returns warped [B, D, H, W, C] fp32 and the invalid mask.
+    """
+    b, h, w, _ = src_feat.shape
+    d = depth_values.shape[1]
+    coords, invalid = plane_sweep_coords(src_proj, ref_proj, depth_values, h, w)
+    if stop_coord_grad:
+        coords = jax.lax.stop_gradient(coords)
+        invalid = jax.lax.stop_gradient(invalid)
+    flat = coords.reshape(b, d, h * w, 2)
+    warped = bilinear_sample_grouped(src_feat, flat, kx=kx)
+    return warped.reshape(b, d, h, w, -1), invalid
 
 
 def homography_warp_cams(

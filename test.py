@@ -44,7 +44,7 @@ def save_depths(args, cfg):
     ds = EvalDataset(
         args.testpath, scans, nviews=args.num_view, ndepths=args.numdepth,
         interval_scale=interval_scale, max_h=args.max_h, max_w=args.max_w,
-        dataset_name=args.dataset,
+        dataset_name=args.dataset, gt_depth_path=args.gt_depth_path,
     )
     loader = EvalLoader(ds, num_workers=2)
 
@@ -63,6 +63,7 @@ def save_depths(args, cfg):
 
     variables = None
     times = []
+    metric_sums = []
     for sample in loader:
         imgs = jnp.asarray(sample["imgs"])[None]
         cams = jax.tree.map(lambda x: jnp.asarray(x)[None], sample["cams"])
@@ -106,10 +107,29 @@ def save_depths(args, cfg):
         save_cam_file(out_dir / "cams" / f"{ref:0>8}_cam.txt",
                       cam[1, :3, :3], cam[0],
                       float(dv[0, 0]), float(dv[0, 1] - dv[0, 0]))
+        if "gt_depth" in sample:
+            import cv2
+
+            from mvsformerplusplus_tpu.train.metrics import depth_metrics
+
+            gt = sample["gt_depth"]
+            if gt.shape != depth.shape:
+                gt = cv2.resize(gt, (depth.shape[1], depth.shape[0]),
+                                interpolation=cv2.INTER_NEAREST)
+            m = depth_metrics(depth[None], gt[None], (gt > 0)[None])
+            metric_sums.append({k: float(v) for k, v in m.items()})
         logging.info("%s view %d done (%.2fs)", scan, ref, times[-1])
     if times:
         logging.info("average time: %.3fs over %d views",
                      float(np.mean(times[1:] or times)), len(times))
+    if metric_sums:
+        avg = {k: float(np.mean([m[k] for m in metric_sums])) for k in metric_sums[0]}
+        out_path = Path(args.outdir) / "depth_metric.txt"
+        with open(out_path, "w") as f:
+            for k, v in sorted(avg.items()):
+                f.write(f"{k}: {v:.6f}\n")
+        logging.info("depth metrics -> %s: %s", out_path,
+                     {k: round(v, 4) for k, v in avg.items()})
     return scans
 
 
@@ -225,6 +245,8 @@ def main():
     p.add_argument("--fusion_view", type=int, default=10)
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world", type=int, default=1)
+    p.add_argument("--gt_depth_path", default=None,
+                   help="DTU GT depth dir -> writes depth_metric.txt (reference test.py:297-319)")
     p.add_argument("--skip_depth", action="store_true", help="fusion only")
     args = p.parse_args()
 

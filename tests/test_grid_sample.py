@@ -147,3 +147,42 @@ def test_init_inverse_range_descending():
     np.testing.assert_allclose(hypo[0, 0, 0, 0], 10.0, rtol=1e-5)
     np.testing.assert_allclose(hypo[0, -1, 0, 0], 2.0, rtol=1e-5)
     assert (np.diff(hypo[0, :, 0, 0]) < 0).all()
+
+
+def test_grouped_sample_matches_ungrouped():
+    """bilinear_sample_grouped must equal the per-sample path when the group
+    footprint fits the patch."""
+    from mvsformerplusplus_tpu.ops.grid_sample import (
+        bilinear_sample, bilinear_sample_grouped)
+
+    rng = np.random.RandomState(4)
+    b, h, w, c, g, n = 1, 24, 32, 8, 4, 50
+    img = rng.randn(b, h, w, c).astype(np.float32)
+    base = rng.uniform(-2, [w + 1, h + 1], size=(b, 1, n, 2)).astype(np.float32)
+    # group members jitter within a few px of the base (like a fine-stage band)
+    coords = base + rng.uniform(0, 6, size=(b, g, n, 2)).astype(np.float32) * [1, 0.15]
+
+    got = np.asarray(bilinear_sample_grouped(img, coords, kx=16))
+    ref = np.asarray(bilinear_sample(img, coords.reshape(b, g * n, 2)))
+    ref = ref.reshape(b, g, n, c)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_warp_matches_plain():
+    rng = np.random.RandomState(5)
+    b, h, w, c, d = 1, 32, 40, 8, 4
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.03, tx=0.1)
+    ref_proj = compose(ref_intr, ref_ext)[None]
+    src_proj = compose(src_intr, src_ext)[None]
+    # narrow band (fine-stage-like): hypotheses within a few px of disparity
+    base = np.linspace(4.0, 4.3, d, dtype=np.float32)
+    dv = np.broadcast_to(base[None, :, None, None], (b, d, h, w)).copy()
+
+    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_grouped
+
+    got, inv_g = homography_warp_grouped(feat, src_proj, ref_proj, dv, kx=16)
+    ref, inv = homography_warp(feat, src_proj, ref_proj, dv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(inv_g), np.asarray(inv))

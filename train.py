@@ -28,12 +28,17 @@ def main():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("-o", "--override", action="append", default=[],
                    help="config override path=value (reference 'a;b;c' syntax)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() (one process per host)")
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")
 
     import jax
+
+    if args.distributed:
+        jax.distributed.initialize()
     import jax.numpy as jnp
 
     from mvsformerplusplus_tpu.utils.cache import enable_compilation_cache
