@@ -68,6 +68,10 @@ class CascadeDepth(nn.Module):
                     depth_type=self.depth_type[i],
                     transformer_config=tc,
                     shard_views=self.shard_views,
+                    # stage 1 sweeps the full depth range: its per-pixel
+                    # epipolar span is unbounded, so the grouped patch
+                    # gather (narrow-band fast path) must stay off
+                    grouped_warp_th=0 if i == 0 else 8,
                     dtype=self.dtype,
                     name=f"stage{i + 1}",
                 )

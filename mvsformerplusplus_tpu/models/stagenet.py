@@ -75,10 +75,13 @@ class StageNet(nn.Module):
     transformer_config: Optional[dict] = None
     model_th: int = 8
     shard_views: bool = False
-    # fine stages (ndepth <= grouped_warp_th) gather ONE [2, grouped_warp_kx]
-    # patch per pixel for the whole hypothesis band — 4-8x fewer gather
-    # indices (ops/grid_sample.py bilinear_sample_grouped); their bands span
-    # only a few px (measured <= ~12 on DTU eval geometry)
+    # re-centered fine stages (ndepth <= grouped_warp_th AND not the first
+    # stage) gather ONE [3, grouped_warp_kx] patch per pixel for the whole
+    # hypothesis band — 4-8x fewer gather indices (ops/grid_sample.py
+    # bilinear_sample_grouped); their bands span only a few px (measured
+    # <= ~12 on DTU eval geometry). The first stage sweeps the FULL scene
+    # range (huge spans) and must never take this path — CascadeDepth sets
+    # grouped_warp_th=0 for it.
     grouped_warp_th: int = 8
     grouped_warp_kx: int = 16
     dtype: Dtype = jnp.float32
@@ -120,16 +123,37 @@ class StageNet(nn.Module):
         # src features stay in model dtype through the gather (bilinear_sample
         # gathers in input dtype and blends in f32 — the fp32 island starts at
         # the blend/correlation, reference models/cost_volume.py:64)
+        grouped = self.ndepth <= self.grouped_warp_th
+        sub = c // self.groups
+
         def warp_one(src_feat_b, src_proj_b):
-            if self.ndepth <= self.grouped_warp_th:
-                warped, _ = homography_warp_grouped(
+            if grouped:
+                # N-minor pipeline: the grouped sampler emits [B, D, C, N]
+                # (N = H*W minormost keeps every buffer dense on the TPU
+                # (8, 128) tile; a C-minor layout pads lanes up to 16x).
+                # Correlation/entropy run in this layout; the volume is
+                # transposed to conv layout [B, D, H, W, G] once, below.
+                warped_t, _ = homography_warp_grouped(
                     src_feat_b, src_proj_b, ref_proj, depth_values,
                     kx=self.grouped_warp_kx,
-                )
-            else:
-                warped, _ = homography_warp(
-                    src_feat_b, src_proj_b, ref_proj, depth_values
-                )  # [B, D, H, W, C] f32
+                )  # [B, D, C, N]
+                ref_t = jnp.swapaxes(
+                    ref_feat.reshape(b, h * w, c), 1, 2)  # [B, C, N]
+                prod = warped_t * ref_t[:, None]
+                corr_t = jnp.mean(
+                    prod.reshape(b, d, self.groups, sub, h * w), axis=3
+                ) if sub > 1 else prod.reshape(b, d, self.groups, h * w)
+                sim = jax.lax.stop_gradient(jnp.sum(corr_t, axis=2))  # [B,D,N]
+                p = jax.nn.softmax(sim, axis=1)
+                entropy_flat = -jnp.sum(p * jnp.log(p + 1e-7), axis=1)
+                # stay in the N-minor layout: [B, D, G, N] + [B, N]; the
+                # conv-layout transpose happens ONCE on the accumulated
+                # volume (a per-view transpose materializes with the small
+                # G dim minor -> 16x lane padding -> OOM)
+                return corr_t, entropy_flat
+            warped, _ = homography_warp(
+                src_feat_b, src_proj_b, ref_proj, depth_values
+            )  # [B, D, H, W, C] f32
             corr_v = groupwise_correlation(warped, ref_feat, self.groups)
             # entropy of the depth-softmax of the summed correlation
             # (stop-grad, reference models/cost_volume.py:89-93)
@@ -150,8 +174,20 @@ class StageNet(nn.Module):
             # consumer; lax.map bounds them to one view at a time
             corr, entropy = jax.lax.map(
                 lambda args: warp_one(*args), (src_feats_t, src_projs_t))
-        # corr: [V-1, B, D, H, W, G]; entropy: [V-1, B, H, W, 1]
 
+        if grouped:
+            # corr: [V-1, B, D, G, N]; entropy: [V-1, B, N]
+            vis = self.vis(entropy.reshape(nsrc * b, h, w, 1), train)
+            vis_t = vis.reshape(nsrc, b, 1, 1, h * w)  # [V-1, B, 1, 1, N]
+            corr = _constrain(jnp.swapaxes(corr, 0, 1), vspec)
+            vis_t = _constrain(jnp.swapaxes(vis_t, 0, 1), vspec)
+            volume_sum = jnp.sum(corr * vis_t, axis=1)  # [B, D, G, N]
+            vis_sum = jnp.sum(vis_t, axis=1)  # [B, 1, 1, N]
+            volume_t = volume_sum / (vis_sum + 1e-6)
+            # single conv-layout transpose of the final volume
+            return jnp.moveaxis(volume_t, 3, 2).reshape(b, d, h, w, self.groups)
+
+        # corr: [V-1, B, D, H, W, G]; entropy: [V-1, B, H, W, 1]
         vis = self.vis(entropy.reshape(nsrc * b, h, w, 1), train)
         corr = _constrain(
             jnp.swapaxes(corr, 0, 1), vspec)  # [B, V-1, D, H, W, G]

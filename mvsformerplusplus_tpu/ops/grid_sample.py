@@ -134,7 +134,11 @@ def bilinear_sample_grouped(img: Array, coords: Array, kx: int = 16) -> Array:
         and ~0 in y; callers pick kx with margin. tests/test_grid_sample.py
         verifies exactness against the ungrouped path.)
 
-    Returns [B, G, N, C] fp32.
+    Returns [B, G, C, N] fp32 — note the TRANSPOSED layout: N stays the
+    minormost dim of every materialized buffer. With C minormost (C is 8-64
+    here) the TPU (8, 128) memory tile pads the lane dim up to 16x; keeping
+    huge-N minor makes every buffer dense. Callers transpose once at the
+    cost-regularizer boundary.
 
     TPU rationale: gathers are index-bound. Grouping G depth slices onto one
     row-contiguous (2, kx, C) patch divides index count by G and reads
@@ -186,17 +190,20 @@ def bilinear_sample_grouped(img: Array, coords: Array, kx: int = 16) -> Array:
     # tests against the true (unclamped) corner positions — exact bilinear
     # with zeros for uncovered/out-of-image corners. Unrolled with STATIC
     # channel slices (a [.., kx, 3, C] reshape would materialize a padded
-    # copy); XLA fuses the masked multiply-adds into one output loop.
+    # copy); XLA fuses the masked multiply-adds into one output loop over
+    # the [B, G, C, N] output (N minor -> dense tiles).
     dx = x0 - ax[:, None].astype(jnp.float32)  # [B, G, N]
     dy = y0 - ay[:, None].astype(jnp.float32)
-    out = jnp.zeros((b, g, n, c), jnp.float32)
+    out = jnp.zeros((b, g, c, n), jnp.float32)
     for k in range(kx):
         wxk = jnp.where(dx == k, 1 - fx, jnp.where(dx == k - 1, fx, 0.0))
         for r in range(3):
             wyr = jnp.where(dy == r, 1 - fy, jnp.where(dy == r - 1, fy, 0.0))
             wgt = wxk * wyr  # [B, G, N]
             cell = patch[..., (k * 3 + r) * c:(k * 3 + r + 1) * c]  # [B, N, C]
-            out = out + cell.astype(jnp.float32)[:, None] * wgt[..., None]
+            cell_t = jnp.swapaxes(cell, 1, 2)  # [B, C, N] (index permutation
+            # inside the fusion; no standalone transposed buffer)
+            out = out + cell_t.astype(jnp.float32)[:, None] * wgt[:, :, None, :]
     return out
 
 
@@ -246,7 +253,8 @@ def homography_warp_grouped(
     cascade stages' bands span a few pixels (their hypotheses are a narrow
     re-centered band, ops/sampling.py schedule_inverse_range).
 
-    Returns warped [B, D, H, W, C] fp32 and the invalid mask.
+    Returns warped [B, D, C, H*W] fp32 (the grouped sampler's N-minor
+    layout; see bilinear_sample_grouped) and the invalid mask.
     """
     b, h, w, _ = src_feat.shape
     d = depth_values.shape[1]
@@ -256,7 +264,7 @@ def homography_warp_grouped(
         invalid = jax.lax.stop_gradient(invalid)
     flat = coords.reshape(b, d, h * w, 2)
     warped = bilinear_sample_grouped(src_feat, flat, kx=kx)
-    return warped.reshape(b, d, h, w, -1), invalid
+    return warped, invalid
 
 
 def homography_warp_cams(

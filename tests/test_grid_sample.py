@@ -162,9 +162,9 @@ def test_grouped_sample_matches_ungrouped():
     # group members jitter within a few px of the base (like a fine-stage band)
     coords = base + rng.uniform(0, 6, size=(b, g, n, 2)).astype(np.float32) * [1, 0.15]
 
-    got = np.asarray(bilinear_sample_grouped(img, coords, kx=16))
+    got = np.asarray(bilinear_sample_grouped(img, coords, kx=16))  # [B,G,C,N]
     ref = np.asarray(bilinear_sample(img, coords.reshape(b, g * n, 2)))
-    ref = ref.reshape(b, g, n, c)
+    ref = ref.reshape(b, g, n, c).transpose(0, 1, 3, 2)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
@@ -183,6 +183,8 @@ def test_grouped_warp_matches_plain():
     from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_grouped
 
     got, inv_g = homography_warp_grouped(feat, src_proj, ref_proj, dv, kx=16)
+    got = np.asarray(got)  # [B, D, C, H*W] N-minor layout
+    got = got.reshape(b, d, c, h, w).transpose(0, 1, 3, 4, 2)
     ref, inv = homography_warp(feat, src_proj, ref_proj, dv)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(inv_g), np.asarray(inv))

@@ -107,7 +107,7 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
     out = subprocess.run(
         [sys.executable, str(REPO / "train.py"), "-c", str(cfg_path),
          "--save_dir", str(tmp_path / "saved")],
-        capture_output=True, text=True, env=env, timeout=540, cwd=str(REPO))
+        capture_output=True, text=True, env=env, timeout=900, cwd=str(REPO))
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-3000:])
     # checkpoints written
     ckpt_dir = tmp_path / "saved" / "checkpoints"
