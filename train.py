@@ -141,15 +141,29 @@ def main():
     )
 
     state = None
-    if args.resume:
+    start_epoch = 0
+    if args.resume or args.finetune:
         # template state needed for orbax restore; build from first batch
         for batch, _ in loader.epoch(0):
             state = trainer.init_state(batch)
             break
-        state, _ = trainer.resume(state)
+    if args.finetune:
+        # finetune (reference train.py:147-176): load model weights from the
+        # DTU run but start a FRESH optimizer/schedule (reset_sche semantics;
+        # the schedule is a pure function of the new opt_state's step count)
+        from mvsformerplusplus_tpu.train.checkpoints import CheckpointManager
+
+        src = args.dtu_model_path or cfg.get_path("arch.dtu_model_path")
+        mgr = CheckpointManager(src)
+        restored, epoch = mgr.restore(state, epoch=mgr.best_epoch())
+        state = state.replace(params=restored.params,
+                              batch_stats=restored.batch_stats)
+        logging.info("finetuning from %s (epoch %s)", src, epoch)
+    elif args.resume:
+        state, start_epoch = trainer.resume(state)
 
     with jax.sharding.set_mesh(mesh):
-        trainer.train(state)
+        trainer.train(state, start_epoch=start_epoch)
 
 
 if __name__ == "__main__":
