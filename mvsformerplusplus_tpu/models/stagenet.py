@@ -184,8 +184,13 @@ class StageNet(nn.Module):
             volume_sum = jnp.sum(corr * vis_t, axis=1)  # [B, D, G, N]
             vis_sum = jnp.sum(vis_t, axis=1)  # [B, 1, 1, N]
             volume_t = volume_sum / (vis_sum + 1e-6)
-            # single conv-layout transpose of the final volume
-            return jnp.moveaxis(volume_t, 3, 2).reshape(b, d, h, w, self.groups)
+            # single conv-layout transpose of the final volume. The barrier
+            # stops the transpose's layout preference from propagating back
+            # into the N-minor pipeline (without it the compiler assigns
+            # lane-padded [G, N] layouts to the upstream buffers: 16x HBM).
+            volume_t = jax.lax.optimization_barrier(volume_t)
+            vol = volume_t.reshape(b, d, self.groups, h, w)
+            return jnp.transpose(vol, (0, 1, 3, 4, 2))
 
         # corr: [V-1, B, D, H, W, G]; entropy: [V-1, B, H, W, 1]
         vis = self.vis(entropy.reshape(nsrc * b, h, w, 1), train)
