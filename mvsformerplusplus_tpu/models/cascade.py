@@ -68,10 +68,11 @@ class CascadeDepth(nn.Module):
                     depth_type=self.depth_type[i],
                     transformer_config=tc,
                     shard_views=self.shard_views,
-                    # stage 1 sweeps the full depth range: its per-pixel
-                    # epipolar span is unbounded, so the grouped patch
-                    # gather (narrow-band fast path) must stay off
-                    grouped_warp_th=0 if i == 0 else 8,
+                    # grouped-depth warp measured SLOWER end-to-end on this
+                    # toolchain (lane-padded [G, N] layouts / lost gather
+                    # pipelining); keep it off — docs/warp_kernel_design.md
+                    # holds the round-2 plan for the stage-4 gather
+                    grouped_warp_th=0,
                     dtype=self.dtype,
                     name=f"stage{i + 1}",
                 )

@@ -164,16 +164,11 @@ class StageNet(nn.Module):
 
         src_feats_t = jnp.swapaxes(src_feats, 0, 1)  # [V-1, B, H, W, C]
         src_projs_t = jnp.swapaxes(src_projs, 0, 1)
-        if self.shard_views:
-            # SPMD path: all views batched; the cv-sharding constraints make
-            # the view axis a parallel dimension and the final sum a psum
-            corr, entropy = jax.vmap(warp_one)(src_feats_t, src_projs_t)
-        else:
-            # single-shard path: process views SEQUENTIALLY — the warp's
-            # gathered-patch buffers at full resolution are the peak HBM
-            # consumer; lax.map bounds them to one view at a time
-            corr, entropy = jax.lax.map(
-                lambda args: warp_one(*args), (src_feats_t, src_projs_t))
+        # all views batched (sequential lax.map was measured 2.5x SLOWER
+        # end-to-end: it serializes the gathers and blocks their pipelining);
+        # under shard_views the cv constraints make the view axis parallel
+        # across chips and the final sum a psum
+        corr, entropy = jax.vmap(warp_one)(src_feats_t, src_projs_t)
 
         if grouped:
             # corr: [V-1, B, D, G, N]; entropy: [V-1, B, N]
