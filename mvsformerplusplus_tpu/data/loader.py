@@ -51,7 +51,9 @@ class TrainLoader:
                  scales: Sequence[Tuple[int, int]],
                  scale_batch_map: Optional[Dict[str, int]] = None,
                  rank: int = 0, world: int = 1, seed: int = 0,
-                 num_workers: int = 4):
+                 num_workers: int = 4, order_fn=None):
+        """order_fn(epoch) -> index array overrides the default permutation
+        (e.g. BalancedSchedule for balanced multi-dataset training)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.schedule = ShapeBucketSchedule(
@@ -60,12 +62,25 @@ class TrainLoader:
         self.rank = rank
         self.world = world
         self.num_workers = num_workers
+        self.order_fn = order_fn
 
     def steps_per_epoch(self) -> int:
-        return len(self.dataset) // (self.batch_size * self.world)
+        n = len(self.order_fn(0)) if self.order_fn else len(self.dataset)
+        return n // (self.batch_size * self.world)
 
     def epoch(self, epoch: int) -> Iterator[Tuple[dict, Tuple[int, int]]]:
-        batches = self.schedule.epoch(epoch)
+        if self.order_fn is not None:
+            order = np.asarray(self.order_fn(epoch))
+            gbs = self.batch_size * self.world
+            rng = np.random.RandomState(self.schedule.seed * 10007 + epoch)
+            scale_idx = rng.randint(0, len(self.schedule.scales),
+                                    size=len(order) // gbs)
+            batches = [
+                (order[i * gbs:(i + 1) * gbs], self.schedule.scales[scale_idx[i]])
+                for i in range(len(order) // gbs)
+            ]
+        else:
+            batches = self.schedule.epoch(epoch)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         try:
             # rank-strided global batches; this rank loads its slice of each

@@ -114,3 +114,27 @@ def test_stage_pyramid_shapes():
     assert p["stage2"].shape == (16, 24)
     assert p["stage3"].shape == (32, 48)
     assert p["stage4"].shape == (64, 96)
+
+
+def test_trainloader_order_fn_balanced():
+    """TrainLoader + BalancedSchedule yields balanced batches across children."""
+    from mvsformerplusplus_tpu.data.loader import BalancedSchedule, TrainLoader
+
+    class FakeDS:
+        def __len__(self):
+            return 40
+
+        def get_sample(self, idx, crop_hw, epoch=0):
+            return {"imgs": np.full((2, 4, 4, 3), idx, np.float32)}
+
+    sched = BalancedSchedule([10, 30], seed=0)
+    loader = TrainLoader(FakeDS(), batch_size=4, scales=[(4, 4)],
+                         order_fn=sched.epoch, num_workers=1)
+    assert loader.steps_per_epoch() == 5  # 2 * min(10,30) / 4
+    seen = []
+    for batch, hw in loader.epoch(0):
+        assert batch["imgs"].shape[0] == 4
+        seen.extend(batch["imgs"][:, 0, 0, 0, 0].astype(int).tolist())
+    assert len(seen) == 20
+    from_a = sum(1 for i in seen if i < 10)
+    assert from_a == 10  # exactly min(len) from each child

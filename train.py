@@ -68,16 +68,30 @@ def main():
         scale_batch_map=ms.get("scale_batch_map", {}),
     )
 
-    ds_cls = DTUTrainDataset if cfg["data_loader"][0]["type"] == "DTULoader" else BlendedTrainDataset
-    train_ds = ds_cls(
-        datapath, dl_cfg["train_data_list"], mode="train",
-        nviews=dl_cfg.get("nviews", 5), ndepths=dl_cfg.get("num_depths", 192),
-        interval_scale=dl_cfg.get("interval_scale", 1.06),
-        random_crop=dl_cfg.get("random_crop", True),
-        augment=dl_cfg.get("augment", True),
-        aug_args=dl_cfg.get("aug_args"),
-        resize_range=msa.resize_range,
-    )
+    def make_train_ds(entry, path_override=None):
+        a = entry["args"]
+        cls = DTUTrainDataset if entry["type"] == "DTULoader" else BlendedTrainDataset
+        return cls(
+            path_override or a["datapath"], a["train_data_list"], mode="train",
+            nviews=a.get("nviews", 5), ndepths=a.get("num_depths", 192),
+            interval_scale=a.get("interval_scale", 1.06),
+            random_crop=a.get("random_crop", True),
+            augment=a.get("augment", True),
+            aug_args=a.get("aug_args"),
+            resize_range=msa.resize_range,
+        )
+
+    order_fn = None
+    if len(cfg["data_loader"]) > 1:
+        # balanced multi-dataset training (reference --balanced_training +
+        # BalancedRandomSampler, datasets/balanced_sampling.py:89-155)
+        from mvsformerplusplus_tpu.data.loader import BalancedSchedule, ConcatDataset
+
+        children = [make_train_ds(e) for e in cfg["data_loader"]]
+        train_ds = ConcatDataset(children)
+        order_fn = BalancedSchedule([len(c) for c in children]).epoch
+    else:
+        train_ds = make_train_ds(cfg["data_loader"][0], args.data_path)
 
     n_dev = len(jax.devices())
     if args.mesh:
@@ -92,6 +106,7 @@ def main():
         scale_batch_map=msa.scale_batch_map,
         rank=jax.process_index(), world=jax.process_count(),
         num_workers=dl_cfg.get("num_workers", 4),
+        order_fn=order_fn,
     )
 
     val_loader = None
