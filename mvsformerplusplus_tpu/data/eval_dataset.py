@@ -96,6 +96,11 @@ class EvalDataset:
                 K[1, 2] += 4.0
 
             img, K = self._scale_to_max(img, K)
+            if i == 0:
+                # keep the unnormalized ref image: the eval CLI writes it to
+                # images/ like the reference (test.py:287-295) so fusion and
+                # downstream MVSNet tooling find the standard output layout
+                ref_img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
             imgs.append(normalize_imagenet(img))
             cams.append(stage_cameras(K, E))
 
@@ -116,6 +121,7 @@ class EvalDataset:
             "filename": f"{scan}/{{}}/{view_ids[0]:0>8}{{}}",
             "scan": scan,
             "ref_view": ref_view,
+            "ref_img": ref_img,
         }
         if gt_depth is not None:
             sample["gt_depth"] = gt_depth

@@ -138,8 +138,10 @@ class CrossBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.norm1 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
-        self.norm2 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32)
+        # torch nn.LayerNorm default eps (the reference CrossBlock uses the
+        # default norm_layer, block.py:286) — not DINOv2's 1e-6
+        self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.attn = MultiHeadAttention(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -198,8 +200,8 @@ class FlashAttnBlock(nn.Module):
         ffn = Mlp(hidden=int(self.dim * self.mlp_ratio), dtype=self.dtype, name="ffn")
         g1 = self.param("gamma1", nn.initializers.constant(self.init_values), (), jnp.float32)
         g2 = self.param("gamma2", nn.initializers.constant(self.init_values), (), jnp.float32)
-        norm1 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")
-        norm2 = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")
+        norm1 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")
         if self.post_norm:
             x = norm1(x + g1.astype(self.dtype) * attn(x)).astype(self.dtype)
             x = norm2(x + g2.astype(self.dtype) * ffn(x)).astype(self.dtype)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .blocks import CrossBlock
+from .layers import deconv_pad
 
 Array = jax.Array
 
@@ -60,10 +61,13 @@ class CrossVITDecoder(nn.Module):
         ch = self.out_ch
         self.proj = nn.Conv(ch * 4, (3, 3), padding="SAME", dtype=self.dtype, name="proj")
         self.proj_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="proj_bn")
-        self.up0 = nn.ConvTranspose(ch * 2, (4, 4), strides=(2, 2), padding="SAME",
+        # torch ConvTranspose2d(4, stride=2, padding=1) semantics (reference
+        # models/module.py:319-322): explicit (2, 2) pads + flipped kernels
+        up_pad = deconv_pad((4, 4), (2, 2), padding=(1, 1), output_padding=(0, 0))
+        self.up0 = nn.ConvTranspose(ch * 2, (4, 4), strides=(2, 2), padding=up_pad,
                                     dtype=self.dtype, name="up0")
         self.up0_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="up0_bn")
-        self.up1 = nn.ConvTranspose(ch, (4, 4), strides=(2, 2), padding="SAME",
+        self.up1 = nn.ConvTranspose(ch, (4, 4), strides=(2, 2), padding=up_pad,
                                     dtype=self.dtype, name="up1")
         self.up1_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name="up1_bn")
 

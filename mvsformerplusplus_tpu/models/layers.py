@@ -28,6 +28,35 @@ def leaky_relu01(x):
     return nn.leaky_relu(x, negative_slope=0.1)
 
 
+def sym_pad(ks) -> tuple:
+    """torch-style symmetric conv padding ((k-1)//2 per side, per axis).
+
+    For stride-1 odd kernels this equals XLA 'SAME'; for STRIDED convs the
+    two differ (SAME pads asymmetrically, e.g. k=5 s=2: (1, 2) vs torch's
+    (2, 2)), shifting the output half a pixel. The reference always uses
+    padding=(k-1)//2, so every strided conv here must pad explicitly to stay
+    numerically importable from reference checkpoints."""
+    return tuple(((k - 1) // 2, (k - 1) // 2) for k in ks)
+
+
+def deconv_pad(ks, strides, padding=None, output_padding=None) -> tuple:
+    """Explicit flax ConvTranspose padding equivalent to torch
+    ConvTranspose{2,3}d(padding=p, output_padding=op): per axis
+    (k-1-p, k-1-p+op). With spatially-flipped weights this reproduces torch
+    transposed-conv semantics exactly (verified vs torch in
+    tests/test_reference_parity.py).
+
+    Defaults follow the reference 3D U-Nets' convention p=(k-1)//2,
+    op=s-1 (models/module.py:129-165); the SVA upsamplers use k=4, p=1,
+    op=0 (models/module.py:319-322)."""
+    out = []
+    for i, (k, s) in enumerate(zip(ks, strides)):
+        p = padding[i] if padding is not None else (k - 1) // 2
+        op = output_padding[i] if output_padding is not None else s - 1
+        out.append((k - 1 - p, k - 1 - p + op))
+    return tuple(out)
+
+
 class ConvBlock(nn.Module):
     """Conv2d + (Instance|Batch)Norm + LeakyReLU(0.1).
 
@@ -44,11 +73,12 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         use_bias = self.norm == "none"
+        ks = (self.kernel_size, self.kernel_size)
         x = nn.Conv(
             self.features,
-            (self.kernel_size, self.kernel_size),
+            ks,
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=sym_pad(ks),
             use_bias=use_bias,
             dtype=self.dtype,
         )(x)
@@ -77,11 +107,12 @@ class ConvBnReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
+        ks = (self.kernel_size, self.kernel_size)
         x = nn.Conv(
             self.features,
-            (self.kernel_size, self.kernel_size),
+            ks,
             strides=(self.stride, self.stride),
-            padding="SAME",
+            padding=sym_pad(ks),
             use_bias=False,
             dtype=self.dtype,
         )(x)
@@ -106,7 +137,7 @@ class Conv3dBlock(nn.Module):
         ks = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size,) * 3
         st = self.stride if isinstance(self.stride, tuple) else (self.stride,) * 3
         x = nn.Conv(
-            self.features, ks, strides=st, padding="SAME", use_bias=False,
+            self.features, ks, strides=st, padding=sym_pad(ks), use_bias=False,
             dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
@@ -121,11 +152,10 @@ class Conv3dBlock(nn.Module):
 class Deconv3dBlock(nn.Module):
     """ConvTranspose3d + BN + ReLU, ×2 upsampling along selected axes.
 
-    torch's (kernel 3, stride s, padding 1, output_padding s-1) transposed
-    conv produces exactly in·s outputs per axis — flax 'SAME' padding with the
-    same stride matches that output arithmetic (weights are trained from
-    scratch, so only shape semantics must agree).
-    Reference models/module.py:129-165, 466-479.
+    Padding reproduces torch's (kernel 3, stride s, padding 1,
+    output_padding s-1) transposed conv exactly (see deconv_pad); with the
+    spatially-flipped weight layout this is bit-compatible with the
+    reference's Deconv3d (models/module.py:129-165, 466-479).
     """
 
     features: int
@@ -139,8 +169,8 @@ class Deconv3dBlock(nn.Module):
         ks = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size,) * 3
         st = self.stride if isinstance(self.stride, tuple) else (self.stride,) * 3
         x = nn.ConvTranspose(
-            self.features, ks, strides=st, padding="SAME", use_bias=False,
-            dtype=self.dtype,
+            self.features, ks, strides=st, padding=deconv_pad(ks, st),
+            use_bias=False, dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,

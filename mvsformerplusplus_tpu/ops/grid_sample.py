@@ -8,7 +8,6 @@ warp ranks #1), re-designed for TPU:
   the identity, so we never do it);
 - the 4-corner bilinear blend is expressed as one flattened gather over H*W
   with per-corner in-bounds masks, which XLA lowers to TPU dynamic-gather;
-  a fused Pallas kernel (ops/pallas/warp.py) replaces it on the hot path;
 - everything runs in fp32 (reference fp32 island, models/cost_volume.py:64)
   and the coordinate computation is gradient-stopped, matching
   homo_warping_3D_with_mask (reference models/warping.py:79, torch.no_grad).

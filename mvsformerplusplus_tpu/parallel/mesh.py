@@ -59,6 +59,34 @@ def shard_batch(mesh: Mesh, tree):
     return jax.device_put(tree, sharding)
 
 
+def data_extent_per_process(mesh: Mesh) -> int:
+    """How many `data`-axis shards this process owns (= the divisibility
+    requirement on a host-local batch dimension)."""
+    n_data = mesh.shape[DATA_AXIS]
+    return max(1, n_data // jax.process_count())
+
+
+def make_global_batch(mesh: Mesh, tree, micro: bool = False):
+    """Host-local numpy batch pytree -> globally-sharded jax.Arrays over the
+    `data` axis.
+
+    This is the TPU equivalent of the reference's per-rank batch split under
+    DDP (reference train.py:39, DistributedSampler): every host feeds its
+    rank-strided slice; `jax.make_array_from_process_local_data` assembles
+    the logical global array (single-process it's just a sharded device_put).
+
+    micro=True: leaves carry a leading [n_micro, B_local, ...] axis
+    (gradient-accumulation split) — only the second axis is data-sharded.
+    """
+    spec = P(None, DATA_AXIS) if micro else P(DATA_AXIS)
+    sharding = NamedSharding(mesh, spec)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree.map(put, tree)
+
+
 def replicate(mesh: Mesh, tree):
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)

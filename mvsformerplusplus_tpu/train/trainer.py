@@ -28,7 +28,9 @@ from typing import Any, Dict, Optional, Sequence
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ..parallel.mesh import data_extent_per_process, make_global_batch
 from ..utils.logging import ScalarWriter
 from .checkpoints import CheckpointManager
 from .metrics import depth_metrics
@@ -82,25 +84,48 @@ class Trainer:
         self.global_step = 0
 
     # -- compiled steps (cached per bucket automatically by jax.jit) --------
+    def _jit_step(self, step, micro: bool):
+        """jit with explicit placement: state replicated, batch sharded over
+        the `data` mesh axis (≡ DDP: gradient all-reduce + SyncBN fall out of
+        the sharded jit; reference train.py:196-200)."""
+        if self.mesh is None:
+            return jax.jit(step, donate_argnums=(0,))
+        repl = NamedSharding(self.mesh, P())
+        batch_sh = NamedSharding(
+            self.mesh, P(None, "data") if micro else P("data"))
+        return jax.jit(step, donate_argnums=(0,),
+                       in_shardings=(repl, batch_sh))
+
     def _step_for(self, n_micro: int):
         if n_micro <= 1:
             if self._plain_step is None:
                 step = make_train_step(self.model, self.tx, **self.loss_kwargs)
-                self._plain_step = jax.jit(step, donate_argnums=(0,))
+                self._plain_step = self._jit_step(step, micro=False)
             return self._plain_step
         if n_micro not in self._accum_steps:
             step = make_accum_train_step(self.model, self.tx, n_micro,
                                          **self.loss_kwargs)
-            self._accum_steps[n_micro] = jax.jit(step, donate_argnums=(0,))
+            self._accum_steps[n_micro] = self._jit_step(step, micro=True)
         return self._accum_steps[n_micro]
 
     def _micro_count(self, crop_hw, batch_size: int) -> int:
         micro = self.scale_batch_map.get(str(crop_hw[0]))
         if not micro or micro >= batch_size:
             return 1
-        while batch_size % micro != 0:  # keep even splits
+        # each micro-batch must still split evenly over this process's
+        # data-axis shards; search downward (smaller micro-batches are the
+        # memory-safe direction, like the reference's scale_batch_map)
+        ld = data_extent_per_process(self.mesh) if self.mesh is not None else 1
+        while micro >= ld and (batch_size % micro != 0 or micro % ld != 0):
             micro -= 1
+        if micro < ld:
+            return 1
         return batch_size // micro
+
+    def _place(self, batch, micro: bool):
+        if self.mesh is None:
+            return batch
+        return make_global_batch(self.mesh, batch, micro=micro)
 
     def _eval_step(self):
         if self._eval_fn is None:
@@ -115,7 +140,10 @@ class Trainer:
         )(jax.random.PRNGKey(0))
         n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(variables["params"]))
         log.info("initialized model: %.2fM params", n_params / 1e6)
-        return TrainState.create(variables, self.tx)
+        state = TrainState.create(variables, self.tx)
+        if self.mesh is not None:
+            state = jax.device_put(state, NamedSharding(self.mesh, P()))
+        return state
 
     def resume(self, state: TrainState) -> tuple:
         try:
@@ -140,6 +168,7 @@ class Trainer:
                 n_micro = self._micro_count(crop_hw, bsz)
                 if n_micro > 1:
                     batch = _split_micro(batch, n_micro)
+                batch = self._place(batch, micro=n_micro > 1)
                 state, logs = self._step_for(n_micro)(state, batch)
                 n_steps += 1
                 self.global_step += 1
@@ -180,10 +209,31 @@ class Trainer:
         sums: Dict[str, float] = {}
         n = 0
         for batch, _ in self.val_loader.epoch(0):
-            m = eval_fn(state, _array_batch(batch))
+            batch = _array_batch(batch)
+            if self.mesh is not None:
+                bsz = batch["imgs"].shape[0]
+                ld = data_extent_per_process(self.mesh)
+                if bsz % ld == 0:
+                    batch = self._place(batch, micro=False)
+                else:
+                    # batch too small to data-shard (e.g. B=1 val batches):
+                    # run replicated on the mesh
+                    batch = jax.device_put(
+                        batch, NamedSharding(self.mesh, P()))
+            m = eval_fn(state, batch)
             for k, v in m.items():
                 if k in ("depth", "confidence"):
                     continue
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
-        return {k: v / max(1, n) for k, v in sums.items()}
+        local = {k: v / max(1, n) for k, v in sums.items()}
+        if jax.process_count() > 1:
+            # ≡ reference dist.all_reduce(val_metrics)/world_size
+            # (trainer/mvsformer_trainer.py:240-244)
+            from jax.experimental import multihost_utils
+
+            keys = sorted(local)
+            vec = np.array([local[k] for k in keys], np.float32)
+            all_vecs = multihost_utils.process_allgather(vec)
+            local = {k: float(all_vecs[:, i].mean()) for i, k in enumerate(keys)}
+        return local

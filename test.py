@@ -69,7 +69,20 @@ def save_depths(args, cfg):
         cams = jax.tree.map(lambda x: jnp.asarray(x)[None], sample["cams"])
         dv = jnp.asarray(sample["depth_values"])[None]
         if variables is None:
-            if args.ckpt:
+            if args.ckpt_npz:
+                # converted reference checkpoint (tools/convert_reference.py)
+                # ≡ reference test.py:209-220 strict load minus pe_dict
+                sys.path.insert(0, str(Path(__file__).resolve().parent))
+                from tools.convert_reference import load_npz_variables
+
+                variables = jax.jit(lambda r: model.init(
+                    r, imgs, cams, dv, train=False))(jax.random.PRNGKey(0))
+                variables = load_npz_variables(
+                    jax.device_get(variables), args.ckpt_npz)
+                variables = jax.device_put(variables)
+                logging.info("loaded converted reference weights from %s",
+                             args.ckpt_npz)
+            elif args.ckpt:
                 init_vars = jax.eval_shape(
                     lambda r: model.init(r, imgs, cams, dv, train=False),
                     jax.random.PRNGKey(0))
@@ -88,6 +101,26 @@ def save_depths(args, cfg):
                 logging.warning("no --ckpt given: using RANDOM weights (smoke mode)")
                 variables = jax.jit(lambda r: model.init(
                     r, imgs, cams, dv, train=False))(jax.random.PRNGKey(0))
+                vit_path = cfg.get_path("arch.args.vit_path")
+                if vit_path and Path(vit_path).exists():
+                    # at least load the pretrained frozen ViT (reference
+                    # DINOv2_mvsformer_model.py:46-51)
+                    sys.path.insert(0, str(Path(__file__).resolve().parent))
+                    from tools.convert_dinov2 import (
+                        convert_state_dict, load_dino_params, merge_vit_params,
+                        unflatten)
+
+                    if str(vit_path).endswith(".npz"):
+                        vit_tree = load_dino_params(vit_path)
+                    else:
+                        import torch
+
+                        sd = torch.load(vit_path, map_location="cpu",
+                                        weights_only=False)
+                        vit_tree = unflatten(convert_state_dict(sd))
+                    variables = jax.device_put(merge_vit_params(
+                        jax.device_get(variables), vit_tree))
+                    logging.info("loaded pretrained ViT from %s", vit_path)
 
         t0 = time.time()
         depth_dev, conf_dev = fwd(variables, imgs, cams, dv)
@@ -107,6 +140,13 @@ def save_depths(args, cfg):
         save_cam_file(out_dir / "cams" / f"{ref:0>8}_cam.txt",
                       cam[1, :3, :3], cam[0],
                       float(dv[0, 0]), float(dv[0, 1] - dv[0, 0]))
+        if "ref_img" in sample:
+            # standard MVSNet output layout: ref jpg next to depth/conf
+            # (reference test.py:287-295); fusion colors read from here
+            import cv2
+
+            cv2.imwrite(str(out_dir / "images" / f"{ref:0>8}.jpg"),
+                        sample["ref_img"][..., ::-1])
         if "gt_depth" in sample:
             import cv2
 
@@ -194,8 +234,11 @@ def fuse_scan(args, scan):
         mask = np.asarray(mask)
         pts = np.asarray(pts)[mask]
         all_pts.append(pts)
-        # colors from the saved ref image if present, else gray
-        img_path = Path(args.testpath) / scan / "images" / f"{ref:0>8}.jpg"
+        # colors from the saved (resized) ref image; fall back to the
+        # original testpath image, then gray
+        img_path = scan_dir / "images" / f"{ref:0>8}.jpg"
+        if not img_path.exists():
+            img_path = Path(args.testpath) / scan / "images" / f"{ref:0>8}.jpg"
         if img_path.exists():
             from mvsformerplusplus_tpu.data.io import read_image
             import cv2
@@ -223,6 +266,8 @@ def main():
     p.add_argument("--testlist", required=True)
     p.add_argument("--outdir", default="outputs")
     p.add_argument("--ckpt", default=None, help="checkpoint dir (CheckpointManager)")
+    p.add_argument("--ckpt_npz", default=None,
+                   help="converted reference checkpoint (tools/convert_reference.py)")
     p.add_argument("--num_view", type=int, default=5)
     p.add_argument("--numdepth", type=int, default=192)
     p.add_argument("--max_h", type=int, default=1152)

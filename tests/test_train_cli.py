@@ -60,6 +60,9 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
     # DTU layout expects 7 lights; generate all 7 (small images keep it fast)
     data = tmp_path / "dtu"
     make_synthetic_dtu(data, n_lights=7)
+    # validation list (same synthetic scan): exercises the val-loader branch,
+    # monitor metrics, and best-checkpoint selection
+    (data / "val.txt").write_text("scan1\n")
 
     cfg = {
         "name": "smoke",
@@ -83,6 +86,9 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
                 "num_depths": 32,
                 "interval_scale": 1.06,
                 "batch_size": 2,
+                "val_data_list": str(data / "val.txt"),
+                "height": 128,
+                "width": 192,
                 "random_crop": True,
                 "augment": True,
                 "num_workers": 2,
@@ -116,3 +122,9 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
     assert meta["last_epoch"] == 0
     # loss logged and finite
     assert "loss" in out.stderr or "loss" in out.stdout
+    # validation ran: monitor metric logged + best checkpoint flagged
+    logtxt = out.stderr + out.stdout
+    assert "mean_error" in logtxt, logtxt[-3000:]
+    assert (ckpt_dir / "best.json").exists()
+    best = json.loads((ckpt_dir / "best.json").read_text())
+    assert np.isfinite(best["monitor_best"])

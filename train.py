@@ -94,13 +94,22 @@ def main():
         train_ds = make_train_ds(cfg["data_loader"][0], args.data_path)
 
     n_dev = len(jax.devices())
+    batch_size = dl_cfg.get("batch_size", 4)
     if args.mesh:
         n_data, n_cv = map(int, args.mesh.split(","))
     else:
-        n_data, n_cv = n_dev, 1
-    mesh = make_mesh(n_data=n_data, n_cv=n_cv)
-
-    batch_size = dl_cfg.get("batch_size", 4)
+        # default: all devices data-parallel, but the global batch must split
+        # evenly — clamp to the largest divisor of batch_size that fits
+        n_data = max(d for d in range(1, n_dev + 1)
+                     if batch_size % d == 0 and n_dev % d == 0)
+        n_cv = 1
+        if n_data < n_dev:
+            logging.warning(
+                "batch_size %d not divisible by %d devices: using %d-way "
+                "data parallelism (pass --mesh to override)",
+                batch_size, n_dev, n_data)
+    mesh = make_mesh(n_data=n_data, n_cv=n_cv,
+                     devices=jax.devices()[: n_data * n_cv])
     loader = TrainLoader(
         train_ds, batch_size=batch_size, scales=msa.scales,
         scale_batch_map=msa.scale_batch_map,
@@ -112,7 +121,11 @@ def main():
     val_loader = None
     val_list = dl_cfg.get("val_data_list")
     if val_list and Path(val_list).exists():
-        val_ds = ds_cls(
+        # val dataset class follows the primary loader entry (reference
+        # train.py:74-124 builds val loaders per data_loader type)
+        val_cls = (DTUTrainDataset if cfg["data_loader"][0]["type"] == "DTULoader"
+                   else BlendedTrainDataset)
+        val_ds = val_cls(
             datapath, val_list, mode="val",
             nviews=dl_cfg.get("nviews", 5), ndepths=dl_cfg.get("num_depths", 192),
             interval_scale=dl_cfg.get("interval_scale", 1.06),
@@ -133,6 +146,9 @@ def main():
         warmup_steps=opt_cfg.get("warmup_steps", 500),
         total_steps=epochs * max(1, loader.steps_per_epoch()),
         freeze_vit=cfg.get_path("arch.args.freeze_vit", True),
+        # reference clips grad norms during training
+        # (trainer/mvsformer_trainer.py:170-181, trainer.grad_norm)
+        grad_clip=cfg["trainer"].get("grad_norm"),
     )
 
     model = build_model(cfg, dtype=jnp.bfloat16, shard_views=(n_cv > 1))
@@ -157,11 +173,38 @@ def main():
 
     state = None
     start_epoch = 0
-    if args.resume or args.finetune:
-        # template state needed for orbax restore; build from first batch
+    vit_path = cfg.get_path("arch.args.vit_path")
+    load_vit = (not args.resume and not args.finetune
+                and vit_path and Path(vit_path).exists())
+    if args.resume or args.finetune or load_vit:
+        # template state needed for orbax restore / weight merge; build from
+        # first batch
         for batch, _ in loader.epoch(0):
             state = trainer.init_state(batch)
             break
+    if load_vit:
+        # load pretrained DINOv2 weights into the frozen ViT (≡ reference
+        # model-construction load, DINOv2_mvsformer_model.py:46-51 via
+        # torch_init_model, utils.py:370-397). Accepts the converted flax
+        # .npz (tools/convert_dinov2.py) or the original torch .pth.
+        from tools.convert_dinov2 import (convert_state_dict, load_dino_params,
+                                          merge_vit_params, unflatten)
+
+        if str(vit_path).endswith(".npz"):
+            vit_tree = load_dino_params(vit_path)
+        else:
+            import torch
+
+            sd = torch.load(vit_path, map_location="cpu", weights_only=False)
+            vit_tree = unflatten(convert_state_dict(sd))
+        variables = merge_vit_params(
+            {"params": jax.device_get(state.params)}, vit_tree)
+        state = state.replace(params=jax.device_put(
+            variables["params"], jax.tree.leaves(state.params)[0].sharding))
+        logging.info("loaded pretrained ViT weights from %s", vit_path)
+    elif vit_path and not args.resume and not args.finetune:
+        logging.warning("!!!No weight in %s — the frozen ViT is RANDOM; "
+                        "only smoke runs should proceed", vit_path)
     if args.finetune:
         # finetune (reference train.py:147-176): load model weights from the
         # DTU run but start a FRESH optimizer/schedule (reset_sche semantics;
