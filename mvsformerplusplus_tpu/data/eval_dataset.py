@@ -48,9 +48,20 @@ class EvalDataset:
         path = os.path.join(self.datapath, scan, "cams", f"{vid:0>8}_cam.txt")
         if not os.path.exists(path):
             path = os.path.join(self.datapath, scan, "cams_1", f"{vid:0>8}_cam.txt")
-        K, E, dmin, dint, extra = read_cam_file(path, self.interval_scale[scan])
-        if "depth_num" in extra and extra["depth_num"] > 0:
-            dint = (extra["depth_max"] - dmin) / extra["depth_num"]
+        K, E, dmin, raw_int, extra = read_cam_file(path, 1.0)
+        if self.dataset_name == "eth3d":
+            # eth3d cams: the 2nd field on the range line is depth_MAX, not
+            # an interval (reference general_eval.py:104-106)
+            dint = (raw_int - dmin) / self.ndepths
+        elif "depth_num" in extra and extra["depth_num"] > 0:
+            # cams carrying an explicit hypothesis count: rescale that range
+            # to THIS eval's ndepths (reference general_eval.py:99-102)
+            dmax = dmin + extra["depth_num"] * raw_int
+            dint = (dmax - dmin) / self.ndepths
+        else:
+            dint = raw_int
+        # interval_scale applies after range resolution (general_eval.py:108)
+        dint *= self.interval_scale[scan]
         return K, E, dmin, dint
 
     def _scale_to_max(self, img, K):

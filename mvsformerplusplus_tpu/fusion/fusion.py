@@ -223,3 +223,86 @@ def pcd_fuse(ref_depth: Array, ref_conf: Array, src_depths: Array,
     cam_pts = _img2cam(xy1, fused, ref_cam)
     world = _cam2world(cam_pts, ref_cam)[..., :3]
     return world, mask
+
+
+def gipuma_fuse(ref_depth: Array, ref_conf: Array, src_depths: Array,
+                src_confs: Array, ref_cam: Array, src_cams: Array,
+                prob_threshold: float = 0.5, disp_threshold: float = 0.1,
+                num_consistent: int = 3):
+    """Fusibile/gipuma-semantics consistency fusion for one reference view.
+
+    TPU-native replacement for the external CUDA fusibile binary the
+    reference shells out to (misc/gipuma.py:184-205 builds the command;
+    README.md:91-96 defines the DTU protocol on its output: disp 0.1,
+    num_consistent 2-3, prob 0.5). Semantics follow the fusibile pipeline as
+    driven by misc/gipuma.py:
+
+    - probability filter FIRST: every view's depth is zeroed where its
+      confidence <= prob_threshold (probability_filter writes
+      ``*_prob_filtered.pfm``, misc/gipuma.py:160-181) — zero depth means
+      "no surface", never consistent;
+    - a source view is consistent when the ref pixel's 3D point, projected
+      into that view, lands on a pixel whose filtered depth agrees with the
+      projected depth within ``|z_proj - d_src| < disp_threshold``. The
+      threshold is in ABSOLUTE depth units: the .dmb "disp" maps fusibile
+      consumes hold raw mvsnet depths, converted unchanged
+      (mvsnet_to_gipuma_dmb, misc/gipuma.py:64-68);
+    - depth lookup is NEAREST-pixel (fusibile indexes the map at the integer
+      pixel, no interpolation);
+    - a ref pixel with >= num_consistent consistent source views emits one
+      fused point: the mean of the ref world point and the consistent source
+      world points (fusibile averages the supporting 3D points into the
+      output cloud).
+
+    Args:
+      ref_depth/ref_conf: [H, W]. src_depths/src_confs: [V, H, W].
+      ref_cam: [2, 4, 4]; src_cams: [V, 2, 4, 4].
+
+    Returns:
+      points [H, W, 3] fused world points, mask [H, W] bool,
+      consistent [V, H, W] bool (per-source support, for the driver's
+      duplicate suppression), src_px [V, H, W, 2] int32 (x, y) nearest
+      source pixel each ref pixel projected to.
+    """
+    v, h, w = src_depths.shape
+    src_depths = jnp.where(src_confs > prob_threshold, src_depths, 0.0)
+    ref_valid = (ref_conf > prob_threshold) & (ref_depth > 0)
+
+    xy1 = _pixel_grid_center(h, w)
+    ref_pts = _img2cam(xy1, ref_depth, ref_cam)
+    ref_world = _cam2world(ref_pts, ref_cam)  # [H, W, 4]
+
+    src_cam_pts = _world2cam(
+        jnp.broadcast_to(ref_world, (v, h, w, 4)), src_cams)  # [V, H, W, 4]
+    z_proj = src_cam_pts[..., 2]
+    img_pts = _cam2img(src_cam_pts, src_cams)  # [V, H, W, 3]
+    # pixel-center convention: pixel (i, j) covers [j, j+1) x [i, i+1), so
+    # the nearest-pixel index is floor(u)
+    ux = jnp.floor(img_pts[..., 0]).astype(jnp.int32)
+    uy = jnp.floor(img_pts[..., 1]).astype(jnp.int32)
+    in_bounds = (ux >= 0) & (ux < w) & (uy >= 0) & (uy < h) & (z_proj > 0)
+    uxc = jnp.clip(ux, 0, w - 1)
+    uyc = jnp.clip(uy, 0, h - 1)
+
+    flat_idx = uyc * w + uxc  # [V, H, W]
+    d_src = jax.vmap(lambda dm, ix: dm.reshape(-1)[ix])(
+        src_depths, flat_idx)  # [V, H, W]
+
+    consistent = in_bounds & (d_src > 0) & (
+        jnp.abs(z_proj - d_src) < disp_threshold)
+
+    # world point of the supporting source pixel (its own surface estimate)
+    sxy1 = jnp.stack([uxc.astype(jnp.float32) + 0.5,
+                      uyc.astype(jnp.float32) + 0.5,
+                      jnp.ones_like(z_proj)], axis=-1)  # [V, H, W, 3]
+    src_pts = _img2cam(sxy1, d_src, src_cams)
+    src_world = _cam2world(src_pts, src_cams)[..., :3]  # [V, H, W, 3]
+
+    cnt = jnp.sum(consistent.astype(jnp.float32), axis=0)  # [H, W]
+    mask = ref_valid & (cnt >= num_consistent)
+
+    fused = (ref_world[..., :3] +
+             jnp.sum(src_world * consistent[..., None], axis=0)) / (
+        cnt[..., None] + 1.0)
+    src_px = jnp.stack([uxc, uyc], axis=-1)
+    return fused, mask, consistent, src_px

@@ -46,10 +46,16 @@ class CascadeDepth(nn.Module):
     transformer_config: Optional[Sequence[dict]] = None
     remat_stages: bool = True
     shard_views: bool = False
+    shard_depth: bool = False
+    warp_mode: str = "auto"
     dtype: Any = jnp.float32
 
     def setup(self):
         stages = []
+        warp_mode = self.warp_mode
+        if warp_mode == "auto":
+            warp_mode = ("pallas" if jax.default_backend() in ("tpu", "axon")
+                         else "folded")
         for i, nd in enumerate(self.ndepths):
             tc = None
             if self.cost_reg_type[i] == "PureTransformerCostReg" and self.transformer_config:
@@ -68,11 +74,14 @@ class CascadeDepth(nn.Module):
                     depth_type=self.depth_type[i],
                     transformer_config=tc,
                     shard_views=self.shard_views,
-                    # grouped-depth warp measured SLOWER end-to-end on this
-                    # toolchain (lane-padded [G, N] layouts / lost gather
-                    # pipelining); keep it off — docs/warp_kernel_design.md
-                    # holds the round-2 plan for the stage-4 gather
-                    grouped_warp_th=0,
+                    shard_depth=self.shard_depth,
+                    # 'auto': the x-grouped gather + Pallas blend kernel on
+                    # TPU (8x fewer gather indices than 'folded', layouts
+                    # pinned in-kernel — the pure-XLA 'xgrouped' variant is
+                    # exact too but XLA's layout assignment lane-pads its
+                    # stage-4 accumulator 16x at DTU eval scale); 'folded'
+                    # off-TPU where the kernel would run interpreted
+                    warp_mode=warp_mode,
                     dtype=self.dtype,
                     name=f"stage{i + 1}",
                 )

@@ -32,6 +32,7 @@ class CasMVSNet(nn.Module):
     use_pe3d: bool = False
     remat_stages: bool = True
     shard_views: bool = False
+    shard_depth: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -60,6 +61,7 @@ class CasMVSNet(nn.Module):
             transformer_config=self.transformer_config,
             remat_stages=self.remat_stages,
             shard_views=self.shard_views,
+            shard_depth=self.shard_depth,
             dtype=self.dtype,
             name="cascade",
         )(features, cams, depth_values, tmp, train)

@@ -53,6 +53,7 @@ class DINOv2MVSNet(nn.Module):
     use_pe3d: bool = True
     remat_stages: bool = True
     shard_views: bool = False
+    shard_depth: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -101,6 +102,7 @@ class DINOv2MVSNet(nn.Module):
             transformer_config=self.transformer_config,
             remat_stages=self.remat_stages,
             shard_views=self.shard_views,
+            shard_depth=self.shard_depth,
             dtype=self.dtype,
             name="cascade",
         )

@@ -24,7 +24,11 @@ from jax.sharding import PartitionSpec as P
 
 from ..ops.correlation import groupwise_correlation
 from ..ops.geometry import compose_projection
-from ..ops.grid_sample import homography_warp, homography_warp_grouped
+from ..ops.grid_sample import (
+    homography_warp,
+    homography_warp_grouped,
+    homography_warp_xgrouped,
+)
 from ..ops.sampling import conf_regression, depth_regression
 from .cost_reg import CostRegNet, CostRegNet3D, PureTransformerCostReg
 from .layers import ConvBnReLU
@@ -66,6 +70,14 @@ class StageNet(nn.Module):
       model_th: Normal reg uses CostRegNet3D when ndepth <= model_th
         (reference models/cost_volume.py:45-49).
       shard_views: shard the source-view axis over the `cv` mesh axis.
+      shard_depth: shard the DEPTH-HYPOTHESIS axis over `cv` instead
+        (SURVEY §2.3 north-star: the D axis of warp+correlation is
+        embarrassingly parallel; reduction point at reference
+        models/cost_volume.py:97-118). Each shard warps/correlates its
+        D-slice locally; the per-view entropy softmax over D lowers to a
+        distributed softmax (XLA all-reduces the max/sum), and the finished
+        volume is all-gathered once before the cost regularizer. Mutually
+        exclusive with shard_views.
     """
 
     ndepth: int
@@ -75,15 +87,24 @@ class StageNet(nn.Module):
     transformer_config: Optional[dict] = None
     model_th: int = 8
     shard_views: bool = False
-    # re-centered fine stages (ndepth <= grouped_warp_th AND not the first
-    # stage) gather ONE [3, grouped_warp_kx] patch per pixel for the whole
-    # hypothesis band — 4-8x fewer gather indices (ops/grid_sample.py
-    # bilinear_sample_grouped); their bands span only a few px (measured
-    # <= ~12 on DTU eval geometry). The first stage sweeps the FULL scene
-    # range (huge spans) and must never take this path — CascadeDepth sets
-    # grouped_warp_th=0 for it.
+    shard_depth: bool = False
+    # warp_mode picks the plane-sweep sampler (ops/grid_sample.py):
+    #   'pallas': the x-grouped gather with the blend as the layout-pinned
+    #     TPU kernel (ops/pallas/warp_blend.py) — the production TPU path;
+    #   'xgrouped': same gather, blend accumulated in XLA — valid for EVERY
+    #     stage (the group spans output pixels whose epipolar footprint is
+    #     locally bounded, not hypotheses), 8x fewer gather indices than
+    #     'folded'; parity-tested but lane-padded 16x by XLA layout
+    #     assignment at stage-4 DTU eval scale, so not the default;
+    #   'grouped': one patch per pixel for the whole hypothesis band — only
+    #     sound for re-centered fine stages (ndepth <= grouped_warp_th, never
+    #     the full-range first stage);
+    #   'folded': folded-channel single gather per sample (the exact
+    #     reference-semantics baseline path).
+    warp_mode: str = "folded"
     grouped_warp_th: int = 8
     grouped_warp_kx: int = 16
+    xgrouped_gx: int = 8
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -112,7 +133,14 @@ class StageNet(nn.Module):
         b, v, h, w, c = features.shape
         nsrc = v - 1
         d = depth_values.shape[1]
+        assert not (self.shard_views and self.shard_depth), \
+            "shard_views and shard_depth both map to the cv axis"
         vspec = P(None, "cv") if self.shard_views else None
+        if self.shard_depth:
+            # pin the hypothesis axis to cv: the warp coords / gathers /
+            # correlation all propagate this layout, so each shard builds
+            # its D-slice of the volume locally
+            depth_values = _constrain(depth_values, P(None, "cv"))
 
         ref_feat = features[:, 0].astype(jnp.float32)  # [B, H, W, C]
         src_feats = _constrain(features[:, 1:], vspec)  # [B, V-1, H, W, C]
@@ -123,20 +151,32 @@ class StageNet(nn.Module):
         # src features stay in model dtype through the gather (bilinear_sample
         # gathers in input dtype and blends in f32 — the fp32 island starts at
         # the blend/correlation, reference models/cost_volume.py:64)
-        grouped = self.ndepth <= self.grouped_warp_th
+        mode = self.warp_mode
+        if mode == "grouped" and self.ndepth > self.grouped_warp_th:
+            mode = "folded"  # depth-grouping unsound for full-range sweeps
+        if mode == "pallas" and (c % 8 != 0 or w % self.xgrouped_gx != 0):
+            mode = "folded"  # kernel needs C%8==0 (chunked transpose) + W%gx
+        grouped = mode in ("grouped", "xgrouped", "pallas")
         sub = c // self.groups
 
         def warp_one(src_feat_b, src_proj_b):
             if grouped:
-                # N-minor pipeline: the grouped sampler emits [B, D, C, N]
+                # N-minor pipeline: the grouped samplers emit [B, D, C, N]
                 # (N = H*W minormost keeps every buffer dense on the TPU
                 # (8, 128) tile; a C-minor layout pads lanes up to 16x).
                 # Correlation/entropy run in this layout; the volume is
                 # transposed to conv layout [B, D, H, W, G] once, below.
-                warped_t, _ = homography_warp_grouped(
-                    src_feat_b, src_proj_b, ref_proj, depth_values,
-                    kx=self.grouped_warp_kx,
-                )  # [B, D, C, N]
+                if mode in ("xgrouped", "pallas"):
+                    warped_t, _ = homography_warp_xgrouped(
+                        src_feat_b, src_proj_b, ref_proj, depth_values,
+                        gx=self.xgrouped_gx, kx=self.grouped_warp_kx,
+                        backend="pallas" if mode == "pallas" else "xla",
+                    )  # [B, D, C, N]
+                else:
+                    warped_t, _ = homography_warp_grouped(
+                        src_feat_b, src_proj_b, ref_proj, depth_values,
+                        kx=self.grouped_warp_kx,
+                    )  # [B, D, C, N]
                 ref_t = jnp.swapaxes(
                     ref_feat.reshape(b, h * w, c), 1, 2)  # [B, C, N]
                 prod = warped_t * ref_t[:, None]
@@ -170,11 +210,14 @@ class StageNet(nn.Module):
         # across chips and the final sum a psum
         corr, entropy = jax.vmap(warp_one)(src_feats_t, src_projs_t)
 
+        dspec = P(None, None, "cv") if self.shard_depth else None
+
         if grouped:
             # corr: [V-1, B, D, G, N]; entropy: [V-1, B, N]
             vis = self.vis(entropy.reshape(nsrc * b, h, w, 1), train)
             vis_t = vis.reshape(nsrc, b, 1, 1, h * w)  # [V-1, B, 1, 1, N]
-            corr = _constrain(jnp.swapaxes(corr, 0, 1), vspec)
+            corr = _constrain(
+                _constrain(jnp.swapaxes(corr, 0, 1), vspec), dspec)
             vis_t = _constrain(jnp.swapaxes(vis_t, 0, 1), vspec)
             volume_sum = jnp.sum(corr * vis_t, axis=1)  # [B, D, G, N]
             vis_sum = jnp.sum(vis_t, axis=1)  # [B, 1, 1, N]
@@ -185,18 +228,23 @@ class StageNet(nn.Module):
             # lane-padded [G, N] layouts to the upstream buffers: 16x HBM).
             volume_t = jax.lax.optimization_barrier(volume_t)
             vol = volume_t.reshape(b, d, self.groups, h, w)
-            return jnp.transpose(vol, (0, 1, 3, 4, 2))
+            vol = jnp.transpose(vol, (0, 1, 3, 4, 2))
+            # D-sharded build: one all-gather of the finished volume before
+            # the cost regularizer (the reduction/softmax point, reference
+            # models/cost_volume.py:97-118)
+            return _constrain(vol, P() if self.shard_depth else None)
 
         # corr: [V-1, B, D, H, W, G]; entropy: [V-1, B, H, W, 1]
         vis = self.vis(entropy.reshape(nsrc * b, h, w, 1), train)
-        corr = _constrain(
-            jnp.swapaxes(corr, 0, 1), vspec)  # [B, V-1, D, H, W, G]
+        corr = _constrain(_constrain(
+            jnp.swapaxes(corr, 0, 1), vspec), dspec)  # [B, V-1, D, H, W, G]
         vis = _constrain(
             jnp.swapaxes(vis.reshape(nsrc, b, h, w, 1), 0, 1), vspec)
 
         volume_sum = jnp.sum(corr * vis[:, :, None], axis=1)  # psum over cv
         vis_sum = jnp.sum(vis, axis=1)
-        return volume_sum / (vis_sum[:, None] + 1e-6)
+        vol = volume_sum / (vis_sum[:, None] + 1e-6)
+        return _constrain(vol, P() if self.shard_depth else None)
 
     def __call__(self, features: Array, cams: Array, depth_values: Array,
                  tmp: float = 1.0, position3d: Optional[Array] = None,

@@ -6,7 +6,13 @@ from .geometry import (
     plane_sweep_coords,
     world_from_xy_depth,
 )
-from .grid_sample import bilinear_sample, homography_warp, homography_warp_cams
+from .grid_sample import (
+    bilinear_sample,
+    bilinear_sample_xgrouped,
+    homography_warp,
+    homography_warp_cams,
+    homography_warp_xgrouped,
+)
 from .resize import interp_matrix, resize2d, resize_hw_axes
 from .sampling import (
     conf_regression,

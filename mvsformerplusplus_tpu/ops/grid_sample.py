@@ -206,6 +206,153 @@ def bilinear_sample_grouped(img: Array, coords: Array, kx: int = 16) -> Array:
     return out
 
 
+def _xgrouped_prep(img: Array, coords: Array, gx: int, kx: int):
+    """Shared front half of the x-grouped samplers: per-group anchors, the
+    patch gather, and per-pixel (dx, dy, fx, fy) blend inputs.
+
+    Returns (patch [B, D*H*Wg, kx*3C], dx, dy, fx, fy each [B, D, GX, M]).
+    """
+    b, h, w, c = img.shape
+    d = coords.shape[1]
+    wg = w // gx
+    m = h * wg
+    assert w % gx == 0, f"W={w} not divisible by gx={gx}"
+
+    # Layout rule (hard-won, see bilinear_sample_grouped): every tensor that
+    # might MATERIALIZE must keep a huge dim minor, or the (8, 128) tile
+    # lane-pads it up to 16x HBM. So the per-pixel coordinate components are
+    # transposed to [B, D, GX, M] (M = H*Wg minor) FIRST, and every derived
+    # quantity (corners, fractions, weights) is born in that layout — the
+    # gx-minor [B, D, H, Wg, GX] shape never exists.
+    def to_gxm(comp):  # [B, D, H, W] -> [B, D, GX, M]
+        return jnp.moveaxis(comp.reshape(b, d, m, gx), -1, 2)
+
+    cf = coords.astype(jnp.float32)
+    x = to_gxm(cf[..., 0])
+    y = to_gxm(cf[..., 1])
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    # anchor = per-group min corner over the GX axis. Clamping the *anchor
+    # inputs* to [-1, size-1] first changes nothing for contributing pixels
+    # (corners wholly outside the image have zero weight regardless) but
+    # stops a diverged projection (z ~ 0 -> u = +-1e6) from dragging the
+    # anchor away from its octet-mates.
+    ax = jnp.clip(jnp.min(jnp.clip(x0, -1, w - 1), axis=2), 0, w - kx)
+    ay = jnp.clip(jnp.min(jnp.clip(y0, -1, h - 1), axis=2), 0, h - 3)
+    ax = ax.astype(jnp.int32)  # [B, D, M]
+    ay = ay.astype(jnp.int32)
+
+    # fold a 3-row window into channels, then flatten (W, 3C) so the patch is
+    # ONE contiguous kx*3C row segment (multi-offset-dim gathers get
+    # lane-padded layouts; see bilinear_sample_grouped)
+    img_p = jnp.pad(img, ((0, 0), (0, 2), (0, 0), (0, 0)))
+    augy = jnp.concatenate(
+        [img_p[:, :-2], img_p[:, 1:-1], img_p[:, 2:]], axis=-1)  # [B,H,W,3C]
+    augy_flat = augy.reshape(b, h, w * 3 * c)
+
+    npix = d * m
+    starts = jnp.stack(
+        [ay.reshape(b, npix), ax.reshape(b, npix) * (3 * c)], axis=-1)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2,),
+        collapsed_slice_dims=(1,),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    patch = jax.lax.gather(
+        augy_flat, starts, dnums, slice_sizes=(1, 1, kx * 3 * c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # [B, D*H*Wg, kx*3C] in img dtype (bf16 patches, f32 blend later)
+
+    dx = x0 - ax[:, :, None].astype(jnp.float32)  # [B, D, GX, M]
+    dy = y0 - ay[:, :, None].astype(jnp.float32)
+    return patch, dx, dy, fx, fy
+
+
+def bilinear_sample_xgrouped(
+    img: Array, coords: Array, gx: int = 8, kx: int = 16,
+    backend: str = "xla",
+) -> Array:
+    """Bilinear sampling where GX consecutive x-pixels share one patch gather.
+
+    The plane-sweep map u(x) is monotone in x with derivative ~O(1) (same
+    pixel units on both sides), so the 2x2 corners of gx=8 consecutive output
+    pixels always fall inside one [3, kx] source patch — unlike depth-axis
+    grouping this holds for EVERY cascade stage including the full-range
+    first sweep, because the group spans output pixels, not hypotheses.
+    Gather index count drops by gx (stage 4 of the DTU eval cascade:
+    28.3M -> 3.5M indices; gathers are index-bound at ~12-36 ns/index).
+
+    Args:
+      img: [B, H, W, C] source features.
+      coords: [B, D, H, W, 2] pixel-unit (x, y); W % gx == 0.
+      gx: output pixels per shared patch (along x).
+      kx: patch width; exact while the octet's corner span fits (requires
+        du/dx <= (kx - 2) / (gx - 1), i.e. ~2.0 at the defaults). Corners
+        outside the patch get weight 0 — the same zeros class as
+        out-of-image corners. Verified vs the per-sample path in
+        tests/test_grid_sample.py.
+      backend: 'xla' accumulates the blend in XLA (correct everywhere, but
+        XLA's layout assignment lane-pads the [.., GX, M] accumulator 16x at
+        DTU stage-4 scale); 'pallas' runs the blend as the layout-pinned TPU
+        kernel (ops/pallas/warp_blend.py) — the production path.
+
+    Returns [B, D, C, H*W] fp32 — N-minor layout (see
+    bilinear_sample_grouped: a C-minor volume lane-pads up to 16x on the
+    (8, 128) TPU tile).
+    """
+    b, h, w, c = img.shape
+    d = coords.shape[1]
+    wg = w // gx
+    m = h * wg
+    patch, dx, dy, fx, fy = _xgrouped_prep(img, coords, gx, kx)
+
+    if backend == "pallas":
+        from .pallas.warp_blend import blend_xgrouped
+
+        # [B, D, GX, M] -> [GX, B*D*M]; patch [B, P', K3C] -> [B*P', K3C]
+        def to_gxp(a):
+            return jnp.moveaxis(a, 2, 0).reshape(gx, b * d * m)
+
+        out = blend_xgrouped(
+            patch.reshape(b * d * m, 3 * kx * c),
+            to_gxp(dx), to_gxp(dy), to_gxp(fx), to_gxp(fy), c, gx, kx,
+        )  # [C, GX, B*D*M]
+        out = out.reshape(c, gx, b, d, h, wg)
+        out = jnp.transpose(out, (2, 3, 0, 4, 5, 1))  # [B, D, C, H, Wg, GX]
+        return out.reshape(b, d, c, h * w)
+
+    # XLA blend: hoist the 3 row weights out of the kx loop
+    wy = [
+        jnp.where(dy == r, 1 - fy, jnp.where(dy == r - 1, fy, 0.0))
+        for r in range(3)
+    ]
+
+    # accumulate into [B, D, C, GX, M]: cell broadcasts over the middle GX
+    # axis, weights over the middle C axis (the same structure as
+    # bilinear_sample_grouped's [B, G, C, N] accumulator, which is
+    # layout-safe); the 3*kx masked multiply-adds fuse into one output loop.
+    out = jnp.zeros((b, d, c, gx, m), jnp.float32)
+    for k in range(kx):
+        wxk = jnp.where(dx == k, 1 - fx, jnp.where(dx == k - 1, fx, 0.0))
+        for r in range(3):
+            wgt = wxk * wy[r]  # [B, D, GX, M]
+            cell = patch[..., (k * 3 + r) * c:(k * 3 + r + 1) * c]
+            # [B, N'=(D, M), C] -> [B, D, C, M] (index permutation in-fusion)
+            cell_t = jnp.swapaxes(cell.reshape(b, d, m, c), 2, 3)
+            out = out + cell_t.astype(jnp.float32)[:, :, :, None] * wgt[:, :, None]
+    # one reorder of the finished volume to [B, D, C, H*W]: interleave the
+    # octet position back into the pixel axis ((H, Wg, GX) -> (H, W))
+    out = jax.lax.optimization_barrier(out)
+    out = out.reshape(b, d, c, gx, h, wg)
+    out = jnp.transpose(out, (0, 1, 2, 4, 5, 3))
+    return out.reshape(b, d, c, h * w)
+
+
 def homography_warp(
     src_feat: Array,
     src_proj: Array,
@@ -263,6 +410,32 @@ def homography_warp_grouped(
         invalid = jax.lax.stop_gradient(invalid)
     flat = coords.reshape(b, d, h * w, 2)
     warped = bilinear_sample_grouped(src_feat, flat, kx=kx)
+    return warped, invalid
+
+
+def homography_warp_xgrouped(
+    src_feat: Array,
+    src_proj: Array,
+    ref_proj: Array,
+    depth_values: Array,
+    gx: int = 8,
+    kx: int = 16,
+    stop_coord_grad: bool = True,
+    backend: str = "xla",
+):
+    """Plane-sweep warp with one patch gather per gx consecutive ref pixels
+    (see bilinear_sample_xgrouped). Unlike the depth-grouped variant this is
+    exact for full-range sweeps too, so it serves every cascade stage.
+
+    Returns warped [B, D, C, H*W] fp32 (N-minor) and the invalid mask.
+    """
+    b, h, w, _ = src_feat.shape
+    coords, invalid = plane_sweep_coords(src_proj, ref_proj, depth_values, h, w)
+    if stop_coord_grad:
+        coords = jax.lax.stop_gradient(coords)
+        invalid = jax.lax.stop_gradient(invalid)
+    warped = bilinear_sample_xgrouped(
+        src_feat, coords, gx=gx, kx=kx, backend=backend)
     return warped, invalid
 
 

@@ -1,22 +1,31 @@
-"""Non-causal flash attention as a Pallas TPU kernel.
+"""Non-causal flash attention as Pallas TPU kernels (forward + fused VJP).
 
 Replaces the reference's CUDA FlashAttention-2 dependency
 (models/dino/layers/attention.py:141-170, 227-258) for the cost-volume (CTA)
 blocks and any softmax-attention path long enough to matter. Design:
 
-- grid (B·H, N/bn); each program owns one query block and streams key/value
-  blocks through VMEM with the classic online-softmax recurrence (running
-  max m, normalizer l, un-normalized accumulator acc);
+- forward: grid (B·H, N/bn, M/bm); each program owns one query block and
+  streams key/value blocks through VMEM with the classic online-softmax
+  recurrence (running max m, normalizer l, un-normalized accumulator acc);
+  the per-row logsumexp is emitted as a second output for the backward;
+- backward: two fused kernels in FA2 style — dK/dV (grid over key blocks,
+  streaming query blocks) and dQ (grid over query blocks, streaming key
+  blocks). Probabilities are rebuilt as exp(s - lse) from the SAVED
+  logsumexp (no renormalization pass), and delta = rowsum(dO ⊙ O) is
+  precomputed outside. Nothing [N, M]-shaped ever touches HBM;
 - logits are computed on the MXU in fp32 (`preferred_element_type`);
-- the custom softmax scale (entropy invariance) is folded into q once;
+- the custom softmax scale (entropy invariance) is folded into q once; the
+  dK formula then needs no scale (dK = dSᵀ·(q·scale)) and dQ multiplies by
+  scale once at the end;
 - head_dim is zero-padded to the 128-lane width outside the kernel; padding
   columns contribute 0 to q·kᵀ so the math is unchanged.
 
-Backward runs through jax.custom_vjp recomputation (flash-style): we save
-q, k, v and the per-row logsumexp, then recompute attention probabilities
-blockwise for dq/dk/dv. For the first round the backward is expressed with
-the same Pallas forward plus XLA einsums per block via lax.map; a fully
-fused Pallas backward is an optimization slot.
+head_dim=16 note (CTA: d_model 64 / 4 heads): the padded contraction
+[bn,128]·[128,bm] is ONE MXU pass either way — K<=128 costs the same pass
+count as K=16, so packing more heads into the lanes could only contaminate
+the per-head softmax, not save passes. At dh=16 the kernel is VPU-bound
+(the exp over [bn, bm] tiles), which padding does not touch. The 8x figure
+is FLOP waste, not wall-clock waste.
 """
 from __future__ import annotations
 
@@ -32,11 +41,18 @@ Array = jax.Array
 NEG_INF = -1e30
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
-                *, bm: int, seq_m: int):
+def _interpret() -> bool:
+    # CPU (tests / dryrun) has no Mosaic backend; interpret mode keeps the
+    # same numerics so goldens validate the kernel logic off-TPU.
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scratch, l_scratch, acc_scratch, *, bm: int, seq_m: int):
     """One (batch·head, q-block) program; grid dim 2 iterates k/v blocks.
 
-    q_ref: [bn, d], k_ref/v_ref: [bm, d] (current k/v block), o_ref: [bn, d].
+    q_ref: [bn, d], k_ref/v_ref: [bm, d] (current k/v block), o_ref: [bn, d],
+    lse_ref: [bn, 128] (per-row logsumexp broadcast over lanes).
     seq_m: true (unpadded) key-sequence length; logits for padded key rows are
     masked to -inf so they take no probability mass.
     """
@@ -86,6 +102,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
     @pl.when(kb == pl.num_programs(2) - 1)
     def _finish():
         o_ref[0] = (acc_scratch[:] / l_scratch[:, :1]).astype(o_ref.dtype)
+        lse_ref[0] = m_scratch[:] + jnp.log(l_scratch[:])
 
 
 def _pad_to(x: Array, size: int, axis: int) -> Array:
@@ -101,21 +118,23 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "bn", "bm"))
-def _flash_fwd(q: Array, k: Array, v: Array, scale: float, bn: int, bm: int) -> Array:
-    """q: [BH, N, D], k/v: [BH, M, D] -> [BH, N, D]."""
-    bh, n, d = q.shape
+def _flash_fwd(qs: Array, k: Array, v: Array, bn: int, bm: int):
+    """qs: [BH, N, D] PRE-SCALED queries, k/v: [BH, M, D].
+
+    Returns (out [BH, N, D], lse [BH, N_pad, 128] fp32).
+    """
+    bh, n, d = qs.shape
     m = k.shape[1]
     d_pad = max(128, _ceil_to(d, 128))
     n_pad = _ceil_to(n, bn)
     m_pad = _ceil_to(m, bm)
 
-    qp = _pad_to(_pad_to(q * scale, n_pad, 1), d_pad, 2)
+    qp = _pad_to(_pad_to(qs, n_pad, 1), d_pad, 2)
     kp = _pad_to(_pad_to(k, m_pad, 1), d_pad, 2)
     vp = _pad_to(_pad_to(v, m_pad, 1), d_pad, 2)
 
     grid = (bh, n_pad // bn, m_pad // bm)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, bm=bm, seq_m=m),
         grid=grid,
         in_specs=[
@@ -123,70 +142,199 @@ def _flash_fwd(q: Array, k: Array, v: Array, scale: float, bn: int, bm: int) -> 
             pl.BlockSpec((1, bm, d_pad), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bm, d_pad), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bn, d_pad), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d_pad), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, bn, d_pad), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bn, 128), lambda b, i, j: (b, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n_pad, d_pad), qs.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, 128), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((bn, 128), jnp.float32),
             pltpu.VMEM((bn, 128), jnp.float32),
             pltpu.VMEM((bn, d_pad), jnp.float32),
         ],
-        # CPU (tests / dryrun) has no Mosaic backend; interpret mode keeps the
-        # same numerics so goldens validate the kernel logic off-TPU.
-        interpret=jax.default_backend() not in ("tpu", "axon"),
+        interpret=_interpret(),
     )(qp, kp, vp)
-    return out[:, :n, :d]
+    return out[:, :n, :d], lse
 
 
-def _attention_ref(q, k, v, scale):
-    """fp32 reference attention used for the recompute-based VJP."""
-    s = jnp.einsum("bnd,bmd->bnm", q.astype(jnp.float32) * scale, k.astype(jnp.float32))
-    p = jax.nn.softmax(s, axis=-1)
-    return p, jnp.einsum("bnm,bmd->bnd", p, v.astype(jnp.float32))
+def _bwd_dkv_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, bn: int, seq_n: int):
+    """grid (bh, M/bm, N/bn): one program per key/value block, streaming
+    query blocks over the last grid axis.
+
+    lse_ref/delta_ref: [8, bn] ROW layouts (value broadcast over sublanes) so
+    they broadcast across the bm rows of the [bm, bn] transposed logits.
+    """
+    nb = pl.program_id(2)
+
+    @pl.when(nb == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]       # [bn, d] (pre-scaled)
+    do = do_ref[0]     # [bn, d]
+    k = k_ref[0]       # [bm, d]
+    v = v_ref[0]       # [bm, d]
+    lse_row = lse_ref[0][0:1, :]      # [1, bn]
+    delta_row = delta_ref[0][0:1, :]  # [1, bn]
+
+    st = jax.lax.dot_general(  # s^T = k·qᵀ : [bm, bn]
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    if seq_n % bn != 0:
+        col = nb * bn + jax.lax.broadcasted_iota(jnp.int32, st.shape, 1)
+        st = jnp.where(col < seq_n, st, NEG_INF)
+    pt = jnp.exp(st - lse_row)  # [bm, bn] (padded q rows: do == 0 kills them)
+
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        pt.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dpt = jax.lax.dot_general(  # dPᵀ = v·dOᵀ : [bm, bn]
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dst = pt * (dpt - delta_row)  # [bm, bn]
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        dst.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(nb == pl.num_programs(2) - 1)
+    def _finish():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash3(q: Array, k: Array, v: Array, scale: float) -> Array:
-    return _flash_fwd(q, k, v, scale, bn=512, bm=512)
+def _bwd_dq_kernel(q_ref, do_ref, lse_ref, delta_ref, k_ref, v_ref,
+                   dq_ref, dq_acc, *, bm: int, seq_m: int, scale: float):
+    """grid (bh, N/bn, M/bm): one program per query block, streaming key
+    blocks. lse_ref/delta_ref: [bn, 128] column layouts."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    do = do_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    lse = lse_ref[0][:, 0:1]      # [bn, 1]
+    delta = delta_ref[0][:, 0:1]  # [bn, 1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [bn, bm]
+    if seq_m % bm != 0:
+        col = kb * bm + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < seq_m, s, NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # [bn, bm]
+    ds = p * (dp - delta)
+    dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _finish():
+        # grad wrt the ORIGINAL (unscaled) q
+        dq_ref[0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
 
 
-def _flash3_fwd(q, k, v, scale):
-    return _flash3(q, k, v, scale), (q, k, v)
+def _flash_bwd(qs: Array, k: Array, v: Array, out: Array, lse: Array,
+               g: Array, scale: float, bn: int, bm: int):
+    """Fused FA2 backward. qs is the PRE-SCALED q; returns grads wrt the
+    original (q, k, v)."""
+    bh, n, d = qs.shape
+    m = k.shape[1]
+    d_pad = max(128, _ceil_to(d, 128))
+    n_pad = _ceil_to(n, bn)
+    m_pad = _ceil_to(m, bm)
+
+    qp = _pad_to(_pad_to(qs, n_pad, 1), d_pad, 2)
+    kp = _pad_to(_pad_to(k, m_pad, 1), d_pad, 2)
+    vp = _pad_to(_pad_to(v, m_pad, 1), d_pad, 2)
+    gp = _pad_to(_pad_to(g, n_pad, 1), d_pad, 2)
+
+    # delta = rowsum(dO ⊙ O) in fp32, broadcast to the two layouts the
+    # kernels need (column [bh, n, 128] and row [bh, 8, n])
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    delta = _pad_to(delta, n_pad, 1)  # [bh, n_pad]
+    delta_col = jnp.broadcast_to(delta[:, :, None], (bh, n_pad, 128))
+    delta_row = jnp.broadcast_to(delta[:, None, :], (bh, 8, n_pad))
+    lse_row = jnp.broadcast_to(lse[:, :, 0][:, None, :], (bh, 8, n_pad))
+
+    interp = _interpret()
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, bn=bn, seq_n=n),
+        grid=(bh, m_pad // bm, n_pad // bn),
+        in_specs=[
+            pl.BlockSpec((1, bn, d_pad), lambda b, j, i: (b, i, 0)),   # q
+            pl.BlockSpec((1, bn, d_pad), lambda b, j, i: (b, i, 0)),   # do
+            pl.BlockSpec((1, 8, bn), lambda b, j, i: (b, 0, i)),        # lse
+            pl.BlockSpec((1, 8, bn), lambda b, j, i: (b, 0, i)),        # delta
+            pl.BlockSpec((1, bm, d_pad), lambda b, j, i: (b, j, 0)),   # k
+            pl.BlockSpec((1, bm, d_pad), lambda b, j, i: (b, j, 0)),   # v
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bm, d_pad), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bm, d_pad), lambda b, j, i: (b, j, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, m_pad, d_pad), k.dtype),
+            jax.ShapeDtypeStruct((bh, m_pad, d_pad), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bm, d_pad), jnp.float32),
+            pltpu.VMEM((bm, d_pad), jnp.float32),
+        ],
+        interpret=interp,
+    )(qp, gp, lse_row, delta_row, kp, vp)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, bm=bm, seq_m=m, scale=scale),
+        grid=(bh, n_pad // bn, m_pad // bm),
+        in_specs=[
+            pl.BlockSpec((1, bn, d_pad), lambda b, i, j: (b, i, 0)),   # q
+            pl.BlockSpec((1, bn, d_pad), lambda b, i, j: (b, i, 0)),   # do
+            pl.BlockSpec((1, bn, 128), lambda b, i, j: (b, i, 0)),      # lse
+            pl.BlockSpec((1, bn, 128), lambda b, i, j: (b, i, 0)),      # delta
+            pl.BlockSpec((1, bm, d_pad), lambda b, i, j: (b, j, 0)),   # k
+            pl.BlockSpec((1, bm, d_pad), lambda b, i, j: (b, j, 0)),   # v
+        ],
+        out_specs=pl.BlockSpec((1, bn, d_pad), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d_pad), qs.dtype),
+        scratch_shapes=[pltpu.VMEM((bn, d_pad), jnp.float32)],
+        interpret=interp,
+    )(qp, gp, lse, delta_col, kp, vp)
+
+    return dq[:, :n, :d], dk[:, :m, :d], dv[:, :m, :d]
 
 
-def _flash3_bwd(scale, res, g):
-    q, k, v = res
-    # Recompute attention probabilities (chunked over query blocks to bound
-    # memory) and form gradients with dense einsums. Training sequences are
-    # ≤ ~12k tokens (train_avg_length regime); eval never calls backward.
-    qf, kf, vf, gf = (t.astype(jnp.float32) for t in (q, k, v, g))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash3(q: Array, k: Array, v: Array, scale: float,
+            bn: int = 512, bm: int = 512) -> Array:
+    out, _ = _flash_fwd(q * scale, k, v, bn, bm)
+    return out
 
-    def per_chunk(args):
-        qc, gc = args
-        s = jnp.einsum("bnd,bmd->bnm", qc * scale, kf)
-        p = jax.nn.softmax(s, axis=-1)
-        dv = jnp.einsum("bnm,bnd->bmd", p, gc)
-        dp = jnp.einsum("bnd,bmd->bnm", gc, vf)
-        dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = p * (dp - dsum)
-        dq = jnp.einsum("bnm,bmd->bnd", ds, kf) * scale
-        dk = jnp.einsum("bnm,bnd->bmd", ds, qc) * scale
-        return dq, dk, dv
 
-    n = qf.shape[1]
-    chunk = 2048
-    if n <= chunk:
-        dq, dk, dv = per_chunk((qf, gf))
-    else:
-        pad_n = _ceil_to(n, chunk)
-        qp = _pad_to(qf, pad_n, 1).reshape(qf.shape[0], -1, chunk, qf.shape[2])
-        gp = _pad_to(gf, pad_n, 1).reshape(gf.shape[0], -1, chunk, gf.shape[2])
-        qp = jnp.moveaxis(qp, 1, 0)
-        gp = jnp.moveaxis(gp, 1, 0)
-        dqs, dks, dvs = jax.lax.map(per_chunk, (qp, gp))
-        dq = jnp.moveaxis(dqs, 0, 1).reshape(qf.shape[0], pad_n, -1)[:, :n]
-        dk = jnp.sum(dks, axis=0)
-        dv = jnp.sum(dvs, axis=0)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+def _flash3_fwd(q, k, v, scale, bn, bm):
+    qs = q * scale
+    out, lse = _flash_fwd(qs, k, v, bn, bm)
+    return out, (qs, k, v, out, lse)
+
+
+def _flash3_bwd(scale, bn, bm, res, g):
+    qs, k, v, out, lse = res
+    dq, dk, dv = _flash_bwd(qs, k, v, out, lse, g, scale, bn, bm)
+    return dq, dk, dv
 
 
 _flash3.defvjp(_flash3_fwd, _flash3_bwd)

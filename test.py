@@ -179,7 +179,7 @@ def fuse_scan(args, scan):
 
     from mvsformerplusplus_tpu.data.io import read_cam_file, read_pair_file, read_pfm
     from mvsformerplusplus_tpu.data.io import build_camera_stack
-    from mvsformerplusplus_tpu.fusion.fusion import dpcd_fuse, pcd_fuse
+    from mvsformerplusplus_tpu.fusion.fusion import dpcd_fuse, gipuma_fuse, pcd_fuse
     from mvsformerplusplus_tpu.fusion.ply import write_ply
 
     scan_dir = Path(args.outdir) / scan
@@ -194,6 +194,10 @@ def fuse_scan(args, scan):
         return depth, conf, build_camera_stack(K, E)
 
     all_pts, all_cols = [], []
+    # fusibile-style duplicate suppression (gipuma mode): once a pixel has
+    # contributed to a fused point — as the ref or as a consistent source —
+    # it is consumed and emits no further points
+    used: dict = {}
     for ref, srcs in pair:
         srcs = srcs[: args.fusion_view]
         if not srcs:
@@ -208,16 +212,28 @@ def fuse_scan(args, scan):
         src_cams = np.stack([v[2] for v in views])
 
         if args.filter_method == "gipuma":
-            # gipuma/fusibile-equivalent consistency count (reference
-            # misc/gipuma.py + README disp_threshold/num_consistent): the
-            # static filter with pixel-distance = disp_threshold and
-            # vthresh = num_consistent + 1 (count excludes the ref view)
-            pts, mask = pcd_fuse(
+            # fusibile-semantics consistency fusion (misc/gipuma.py:184-205
+            # protocol: prob filter -> |z_proj - d_src| < disp_threshold
+            # count -> averaged supporting points; fusion.gipuma_fuse)
+            pts, mask, consistent, src_px = gipuma_fuse(
                 jnp.asarray(ref_depth), jnp.asarray(ref_conf),
                 jnp.asarray(src_depths), jnp.asarray(src_confs),
                 jnp.asarray(ref_cam), jnp.asarray(src_cams),
-                conf_thresh=args.conf, img_dist_thresh=args.disp_threshold,
-                depth_thresh=0.01, vthresh=args.num_consistent + 1)
+                prob_threshold=args.prob_threshold,
+                disp_threshold=args.disp_threshold,
+                num_consistent=args.num_consistent)
+            mask = np.asarray(mask)
+            if ref in used:
+                mask &= ~used[ref]
+            used.setdefault(ref, np.zeros_like(mask))
+            used[ref] |= mask
+            consistent = np.asarray(consistent)
+            src_px = np.asarray(src_px)
+            for j, s in enumerate(srcs):
+                sel = consistent[j] & mask
+                px = src_px[j][sel]
+                used.setdefault(s, np.zeros_like(mask))
+                used[s][px[:, 1], px[:, 0]] = True
         elif args.filter_method == "dpcd":
             pts, mask = dpcd_fuse(
                 jnp.asarray(ref_depth), jnp.asarray(ref_conf),
@@ -283,6 +299,8 @@ def main():
     p.add_argument("--num_consistent", type=int, default=2,
                    help="gipuma mode: min consistent source views")
     p.add_argument("--conf", type=float, default=0.5)
+    p.add_argument("--prob_threshold", type=float, default=0.5,
+                   help="gipuma probability filter (reference test.py:71)")
     p.add_argument("--thres_view", type=int, default=4)
     p.add_argument("--thres_disp", type=float, default=1.0)
     p.add_argument("--dist_base", type=float, default=4.0)

@@ -72,3 +72,32 @@ def test_flash_attention_grad_matches_dense():
     gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(gf, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=3e-3, atol=3e-4)
+
+
+def test_flash_attention_grad_multiblock_cross():
+    """Fused Pallas backward across MULTIPLE key/query blocks and n != m
+    (streamed dk/dv accumulation + final-block padding masks)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvsformerplusplus_tpu.ops.pallas.flash_attention import _flash3
+
+    rng = np.random.RandomState(3)
+    bh, n, m, d = 2, 300, 200, 16
+    q = rng.randn(bh, n, d).astype(np.float32) * 0.3
+    k = rng.randn(bh, m, d).astype(np.float32) * 0.3
+    v = rng.randn(bh, m, d).astype(np.float32)
+    g = rng.randn(bh, n, d).astype(np.float32)
+    scale = d**-0.5
+
+    def dense(q, k, v):
+        s = jnp.einsum("bnd,bmd->bnm", q * scale, k)
+        return jnp.einsum("bnm,bmd->bnd", jax.nn.softmax(s, axis=-1), v)
+
+    # bn=bm=128 -> 3 query blocks, 2 key blocks, both with padding remainders
+    _, vjp = jax.vjp(lambda q, k, v: _flash3(q, k, v, scale, 128, 128), q, k, v)
+    gf = vjp(g)
+    _, vjp_d = jax.vjp(dense, q, k, v)
+    gd = vjp_d(g)
+    for a, b_ in zip(gf, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=3e-3, atol=3e-4)

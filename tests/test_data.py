@@ -50,6 +50,40 @@ def test_cam_file_roundtrip(tmp_path):
     assert extra["depth_num"] == 192 and abs(extra["depth_max"] - 933.8) < 1e-4
 
 
+def test_eval_dataset_depth_range_resolution(tmp_path):
+    """EvalDataset._read_cam must mirror general_eval.py:88-110: plain cams
+    scale the interval; depth_num cams rescale the range to the EVAL ndepths;
+    eth3d cams read field 2 as depth_MAX; interval_scale applies last."""
+    from mvsformerplusplus_tpu.data.eval_dataset import EvalDataset
+
+    intr = np.array([[1000, 0, 320], [0, 1000, 240], [0, 0, 1]], np.float64)
+    ext = np.eye(4)
+
+    def make_scan(name, *range_fields):
+        d = tmp_path / name / "cams"
+        d.mkdir(parents=True)
+        save_cam_file(d / "00000000_cam.txt", intr, ext, *range_fields)
+        (tmp_path / name / "pair.txt").write_text("1\n0\n1 1 10.0\n")
+
+    make_scan("plain", 425.0, 2.5)
+    make_scan("counted", 425.0, 2.5, 256, 425.0 + 256 * 2.5)
+    make_scan("eth", 0.5, 72.5)  # eth3d: field 2 is depth_max
+
+    def read(scan, name, ndepths=192, iscale=1.06):
+        ds = EvalDataset(str(tmp_path), [scan], ndepths=ndepths,
+                         interval_scale=iscale, dataset_name=name)
+        return ds._read_cam(scan, 0)
+
+    _, _, dmin, dint = read("plain", "dtu")
+    assert dmin == 425.0 and abs(dint - 2.5 * 1.06) < 1e-6
+    # depth_num cams: (dmin + 256*2.5 - dmin) / 192 * 1.06
+    _, _, dmin, dint = read("counted", "dtu")
+    assert abs(dint - 256 * 2.5 / 192 * 1.06) < 1e-6
+    # eth3d: (depth_max - dmin) / ndepths * iscale
+    _, _, dmin, dint = read("eth", "eth3d")
+    assert dmin == 0.5 and abs(dint - (72.5 - 0.5) / 192 * 1.06) < 1e-6
+
+
 def test_pair_roundtrip(tmp_path):
     pairs = [(0, [(1, 120.5), (2, 80.25)]), (1, [(0, 120.5)])]
     save_pair_file(tmp_path / "pair.txt", pairs)

@@ -168,6 +168,112 @@ def test_grouped_sample_matches_ungrouped():
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_xgrouped_warp_matches_plain_full_range():
+    """x-pixel-grouped warp must equal the per-sample path on a FULL-RANGE
+    sweep (the case depth-grouping cannot handle): the group's epipolar
+    footprint is bounded by du/dx, not by the hypothesis band."""
+    rng = np.random.RandomState(6)
+    b, h, w, c, d = 1, 32, 48, 8, 16
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.15, tx=0.5)
+    ref_proj = compose(ref_intr, ref_ext)[None]
+    src_proj = compose(src_intr, src_ext)[None]
+    # full scene range — hypotheses span the whole frustum
+    dv = np.linspace(2.0, 6.0, d, dtype=np.float32)[None].repeat(b, 0)
+
+    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_xgrouped
+
+    got, inv_g = homography_warp_xgrouped(
+        feat, src_proj, ref_proj, dv, gx=8, kx=16)
+    got = np.asarray(got).reshape(b, d, c, h, w).transpose(0, 1, 3, 4, 2)
+    ref, inv = homography_warp(feat, src_proj, ref_proj, dv)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(inv_g), np.asarray(inv))
+
+
+def test_xgrouped_warp_per_pixel_hypotheses():
+    """Per-pixel depth maps (the cascade's scheduled bands) + a camera pair
+    with roll, through the x-grouped path."""
+    rng = np.random.RandomState(7)
+    b, h, w, c, d = 1, 24, 40, 4, 4
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.08, tx=0.3)
+    # add some roll so v varies along x
+    roll = 0.05
+    rz = np.array([
+        [np.cos(roll), -np.sin(roll), 0],
+        [np.sin(roll), np.cos(roll), 0],
+        [0, 0, 1]], dtype=np.float32)
+    src_ext[:3, :3] = rz @ src_ext[:3, :3]
+    ref_proj = compose(ref_intr, ref_ext)[None]
+    src_proj = compose(src_intr, src_ext)[None]
+    base = np.linspace(3.5, 4.5, d, dtype=np.float32)
+    dv = np.broadcast_to(base[None, :, None, None], (b, d, h, w)).copy()
+    dv = dv * rng.uniform(0.95, 1.05, size=(b, 1, h, w)).astype(np.float32)
+
+    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_xgrouped
+
+    got, _ = homography_warp_xgrouped(feat, src_proj, ref_proj, dv, gx=8, kx=16)
+    got = np.asarray(got).reshape(b, d, c, h, w).transpose(0, 1, 3, 4, 2)
+    ref, _ = homography_warp(feat, src_proj, ref_proj, dv)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_blend_matches_xla_backend():
+    """The Pallas warp-blend kernel (ops/pallas/warp_blend.py, interpret mode
+    on CPU) must reproduce the XLA blend exactly on a full-range sweep."""
+    rng = np.random.RandomState(8)
+    b, h, w, c, d = 1, 32, 48, 8, 6
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.12, tx=0.4)
+    ref_proj = compose(ref_intr, ref_ext)[None]
+    src_proj = compose(src_intr, src_ext)[None]
+    dv = np.linspace(2.0, 6.0, d, dtype=np.float32)[None].repeat(b, 0)
+
+    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_xgrouped
+
+    got, _ = homography_warp_xgrouped(
+        feat, src_proj, ref_proj, dv, gx=8, kx=16, backend="pallas")
+    ref, _ = homography_warp_xgrouped(
+        feat, src_proj, ref_proj, dv, gx=8, kx=16, backend="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_blend_grad_matches_xla_backend():
+    """custom-VJP of the blend kernel: gradients wrt the SOURCE FEATURES
+    (through patch-gather scatter + the backward kernel) match the XLA path."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(9)
+    b, h, w, c, d = 1, 16, 32, 8, 4
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.1, tx=0.3)
+    ref_proj = jnp.asarray(compose(ref_intr, ref_ext)[None])
+    src_proj = jnp.asarray(compose(src_intr, src_ext)[None])
+    dv = jnp.asarray(np.linspace(3.0, 5.0, d, dtype=np.float32)[None])
+    g = jnp.asarray(rng.randn(b, d, c, h * w).astype(np.float32))
+
+    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_xgrouped
+
+    def loss(backend):
+        def f(x):
+            warped, _ = homography_warp_xgrouped(
+                x, src_proj, ref_proj, dv, gx=8, kx=16, backend=backend)
+            return jnp.sum(warped * g)
+        return f
+
+    gp = jax.grad(loss("pallas"))(jnp.asarray(feat))
+    gx_ = jax.grad(loss("xla"))(jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx_),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_grouped_warp_matches_plain():
     rng = np.random.RandomState(5)
     b, h, w, c, d = 1, 32, 40, 8, 4

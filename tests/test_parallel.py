@@ -35,6 +35,34 @@ def test_view_sharded_volume_matches_unsharded():
         np.asarray(out["stage1"]["prob_volume"]), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
+def test_depth_sharded_volume_matches_unsharded():
+    """D-axis cost-volume partitioning (SURVEY §2.3): warp+correlation built
+    with the hypothesis axis sharded over cv must equal the unsharded model.
+    The per-view entropy softmax over the sharded D axis becomes a
+    distributed softmax; the finished volume is all-gathered before the cost
+    regularizer."""
+    rng = np.random.RandomState(2)
+    imgs, cams, dv = make_inputs(rng, v=3)
+
+    base = CasMVSNet(ndepths=(8, 4, 4, 4), remat_stages=False)
+    variables = jax.jit(lambda r: base.init(r, imgs, cams, dv, train=False))(
+        jax.random.PRNGKey(0))
+    ref = jax.jit(lambda v: base.apply(v, imgs, cams, dv, train=False))(variables)
+
+    sharded = CasMVSNet(ndepths=(8, 4, 4, 4), remat_stages=False, shard_depth=True)
+    mesh = make_mesh(n_data=1, n_cv=2, devices=jax.devices()[:2])
+    with jax.sharding.set_mesh(mesh):
+        out = jax.jit(lambda v: sharded.apply(v, imgs, cams, dv, train=False))(
+            variables)
+    np.testing.assert_allclose(
+        np.asarray(ref["refined_depth"]), np.asarray(out["refined_depth"]),
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(ref["stage1"]["prob_volume"]),
+        np.asarray(out["stage1"]["prob_volume"]), rtol=1e-4, atol=1e-4)
+
+
 def test_make_global_batch_shards_over_data():
     from mvsformerplusplus_tpu.parallel.mesh import make_global_batch
 
