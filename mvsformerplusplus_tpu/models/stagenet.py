@@ -28,6 +28,7 @@ from ..ops.grid_sample import (
     homography_warp,
     homography_warp_grouped,
     homography_warp_xgrouped,
+    homography_warp_ygrouped,
 )
 from ..ops.sampling import conf_regression, depth_regression
 from .cost_reg import CostRegNet, CostRegNet3D, PureTransformerCostReg
@@ -154,8 +155,8 @@ class StageNet(nn.Module):
         mode = self.warp_mode
         if mode == "grouped" and self.ndepth > self.grouped_warp_th:
             mode = "folded"  # depth-grouping unsound for full-range sweeps
-        if mode == "pallas" and (c % 8 != 0 or w % self.xgrouped_gx != 0):
-            mode = "folded"  # kernel needs C%8==0 (chunked transpose) + W%gx
+        if mode == "pallas" and (c % 4 != 0 or h % self.xgrouped_gx != 0):
+            mode = "folded"  # kernel needs C%4==0 (chunked transpose) + H%gy
         grouped = mode in ("grouped", "xgrouped", "pallas")
         sub = c // self.groups
 
@@ -166,11 +167,15 @@ class StageNet(nn.Module):
                 # (8, 128) tile; a C-minor layout pads lanes up to 16x).
                 # Correlation/entropy run in this layout; the volume is
                 # transposed to conv layout [B, D, H, W, G] once, below.
-                if mode in ("xgrouped", "pallas"):
+                if mode == "pallas":
+                    warped_t, _ = homography_warp_ygrouped(
+                        src_feat_b, src_proj_b, ref_proj, depth_values,
+                        gy=self.xgrouped_gx, ky=self.grouped_warp_kx,
+                    )  # [B, D, C, N]
+                elif mode == "xgrouped":
                     warped_t, _ = homography_warp_xgrouped(
                         src_feat_b, src_proj_b, ref_proj, depth_values,
                         gx=self.xgrouped_gx, kx=self.grouped_warp_kx,
-                        backend="pallas" if mode == "pallas" else "xla",
                     )  # [B, D, C, N]
                 else:
                     warped_t, _ = homography_warp_grouped(

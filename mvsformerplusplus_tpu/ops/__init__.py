@@ -9,9 +9,11 @@ from .geometry import (
 from .grid_sample import (
     bilinear_sample,
     bilinear_sample_xgrouped,
+    bilinear_sample_ygrouped,
     homography_warp,
     homography_warp_cams,
     homography_warp_xgrouped,
+    homography_warp_ygrouped,
 )
 from .resize import interp_matrix, resize2d, resize_hw_axes
 from .sampling import (

@@ -1,28 +1,37 @@
-"""Pallas TPU kernel for the x-grouped plane-sweep blend.
+"""Pallas TPU kernel for the y-grouped plane-sweep blend.
 
 Replaces the hot half of the reference's grid_sample warp
 (models/warping.py:69-109, SURVEY §3.3 hot-loop #1). The pipeline is split:
 
-- XLA does the index-bound PATCH GATHER (one [3, kx] source patch per gx
-  consecutive ref pixels, ops/grid_sample.py bilinear_sample_xgrouped — 8x
+- XLA does the index-bound PATCH GATHER: one [ky, wx] source patch per GY=8
+  consecutive output pixels along Y (ops/grid_sample.py _ygrouped_prep — 8x
   fewer gather indices than per-sample gathering);
 - this kernel does the bandwidth/layout-bound BLEND: expanding each patch
-  into gx bilinearly-weighted output pixels. In pure XLA the accumulator
-  [B, D, C, GX, M] keeps getting a gx-minor layout from the compiler's
-  layout assignment, which lane-pads it 16x on the (8, 128) tile and OOMs
-  at DTU eval scale. Here every buffer's layout is pinned by construction:
-  coords/weights live as [GX(sublane), P(lane)], patches as
-  [P(sublane), 3·kx·C(lane)], output as [C, GX(sublane), P(lane)].
+  into gy bilinearly-weighted output pixels.
 
-The blend math is identical to the XLA path (bilinear corner weights with
-zero for corners outside the patch or image) and is parity-tested against it
-and against the per-sample sampler in tests/test_grid_sample.py.
+Why Y-grouping (not X): a group's outputs must reassemble into natural
+(H, W) pixel order. Grouping along X leaves the 8 group members strided in
+the minor W axis, and every interleave strategy materializes a gx-minor
+tensor that XLA layout assignment lane-pads 16x (the r1/r2 OOM class) —
+in-kernel, Mosaic rejects the sublane->lane merge reshape outright
+("unsupported shape cast"). Grouping along Y puts the 8 members on
+CONSECUTIVE ROWS: the kernel's accumulator [C, GY, PBX] block-writes
+directly into the output array [C, B*D*H, W] at row hg*8 — no relayout
+anywhere, on either side of the pallas_call.
+
+Blend math matches torch grid_sample(zeros, align_corners=True) semantics
+exactly: corner weights are zeroed when the corner falls outside the patch
+window or the image (the patch window is sized so in-image corners stay
+inside for |dv/dy| <= (ky-2)/(gy-1) = 2 and |du/dy| <= (wx-2)/(gy-1) ~ 0.57;
+beyond that — extreme epipolar slopes — samples degrade to zeros, the same
+class as out-of-FOV). Parity-tested against the per-sample sampler in
+tests/test_grid_sample.py and bit-exact vs the XLA blend on real TPU.
 
 In-kernel patch transpose: native Mosaic transposes per 384-column chunk
 (an identity-matrix MXU matmul also works but runs at default matmul
 precision, quantizing f32 patches to bf16 — measured 8e-3 error on real
 hardware). Cell channels are then SUBLANE slices of the f32 chunk (aligned
-for C in {8, 16, 32, 64}; f32 sublane tile is 8).
+for C % 4 == 0; f32 sublane tile is 8).
 """
 from __future__ import annotations
 
@@ -31,144 +40,139 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-_CHUNK = 384  # transpose chunk: 3 * 128 lanes; divides 3*kx*C for C >= 8
+_CHUNK = 384  # transpose chunk: 3 * 128 lanes; divides ky*wx*C for C % 4 == 0
 
 
 def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _row_weights(dy: Array, fy: Array):
-    """The 3 y-window weights shared by every kx column."""
+def _col_weights(dx: Array, fx: Array, wx: int):
+    """Per-x-window-offset weights (shared by every ky row)."""
     return [
-        jnp.where(dy == r, 1 - fy, jnp.where(dy == r - 1, fy, 0.0))
-        for r in range(3)
+        jnp.where(dx == i, 1 - fx, jnp.where(dx == i - 1, fx, 0.0))
+        for i in range(wx)
     ]
 
 
 def _fwd_kernel(patch_ref, dx_ref, dy_ref, fx_ref, fy_ref, out_ref,
-                *, c: int, kx: int):
-    """One P-block: patch [PB, 3*kx*C] -> out [C, GX, PB]."""
-    pb = patch_ref.shape[0]
-    k3c = 3 * kx * c
-    dx = dx_ref[:]
-    fx = fx_ref[:]
-    wy = _row_weights(dy_ref[:], fy_ref[:])
+                *, c: int, ky: int, wx: int):
+    """One (row-group, x-block) program: patch [PBX, ky*wx*C] ->
+    out [C, GY, PBX] (8 consecutive output rows x PBX columns)."""
+    kc = ky * wx * c
+    dy = dy_ref[:]
+    fy = fy_ref[:]
+    wxs = _col_weights(dx_ref[:], fx_ref[:], wx)
 
-    acc = jnp.zeros((c, dx.shape[0], pb), jnp.float32)
-    for j in range(k3c // _CHUNK):
-        # [CHUNK, PB] f32: native Mosaic transpose (an identity MXU matmul
+    acc = jnp.zeros((c, dy.shape[0], dy.shape[1]), jnp.float32)
+    for j in range(kc // _CHUNK):
+        # [CHUNK, PBX] f32: native Mosaic transpose (an identity MXU matmul
         # would run at default precision and quantize f32 patches to bf16)
         chunk_t = patch_ref[:, j * _CHUNK:(j + 1) * _CHUNK].astype(
             jnp.float32).T
         for cell in range(_CHUNK // c):
-            flat = j * (_CHUNK // c) + cell  # = k * 3 + r
-            k, r = flat // 3, flat % 3
-            wgt = jnp.where(dx == k, 1 - fx,
-                            jnp.where(dx == k - 1, fx, 0.0)) * wy[r]
-            cell_t = chunk_t[cell * c:(cell + 1) * c, :]  # [C, PB]
+            flat = j * (_CHUNK // c) + cell  # = yy * wx + xx
+            yy, xx = flat // wx, flat % wx
+            wgt = jnp.where(dy == yy, 1 - fy,
+                            jnp.where(dy == yy - 1, fy, 0.0)) * wxs[xx]
+            cell_t = chunk_t[cell * c:(cell + 1) * c, :]  # [C, PBX]
             acc = acc + cell_t[:, None, :] * wgt[None]
     out_ref[:] = acc
 
 
 def _bwd_kernel(g_ref, dx_ref, dy_ref, fx_ref, fy_ref, dpatch_ref,
-                *, c: int, kx: int):
-    """dpatch [PB, 3*kx*C] from dout [C, GX, PB] (blend is linear in patch)."""
-    pb = g_ref.shape[2]
-    k3c = 3 * kx * c
-    dx = dx_ref[:]
-    fx = fx_ref[:]
-    wy = _row_weights(dy_ref[:], fy_ref[:])
-    g = g_ref[:]  # [C, GX, PB] f32
+                *, c: int, ky: int, wx: int):
+    """dpatch [PBX, ky*wx*C] from dout [C, GY, PBX] (blend linear in patch)."""
+    kc = ky * wx * c
+    dy = dy_ref[:]
+    fy = fy_ref[:]
+    wxs = _col_weights(dx_ref[:], fx_ref[:], wx)
+    g = g_ref[:]  # [C, GY, PBX] f32
 
-    for j in range(k3c // _CHUNK):
+    for j in range(kc // _CHUNK):
         rows = []
         for cell in range(_CHUNK // c):
             flat = j * (_CHUNK // c) + cell
-            k, r = flat // 3, flat % 3
-            wgt = jnp.where(dx == k, 1 - fx,
-                            jnp.where(dx == k - 1, fx, 0.0)) * wy[r]
-            rows.append(jnp.sum(g * wgt[None], axis=1))  # [C, PB]
-        chunk_t = jnp.concatenate(rows, axis=0)  # [CHUNK, PB]
+            yy, xx = flat // wx, flat % wx
+            wgt = jnp.where(dy == yy, 1 - fy,
+                            jnp.where(dy == yy - 1, fy, 0.0)) * wxs[xx]
+            rows.append(jnp.sum(g * wgt[None], axis=1))  # [C, PBX]
+        chunk_t = jnp.concatenate(rows, axis=0)  # [CHUNK, PBX]
         dpatch_ref[:, j * _CHUNK:(j + 1) * _CHUNK] = chunk_t.T.astype(
             dpatch_ref.dtype)
 
 
-def _pad_p(x: Array, p_pad: int) -> Array:
-    if x.shape[-1] == p_pad:
-        return x
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, p_pad - x.shape[-1])]
-    return jnp.pad(x, pad)
+def _pbx_for(w: int, cap: int = 512) -> int:
+    for cand in range(min(cap, w), 0, -1):
+        if w % cand == 0:
+            return cand
+    return w
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def blend_xgrouped(patch: Array, dx: Array, dy: Array, fx: Array, fy: Array,
-                   c: int, gx: int, kx: int) -> Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def blend_ygrouped(patch: Array, dx: Array, dy: Array, fx: Array, fy: Array,
+                   c: int, gy: int, ky: int, wx: int, w: int) -> Array:
     """Expand gathered patches into bilinear samples, TPU-layout-safe.
 
     Args:
-      patch: [P, 3*kx*C] gathered patches (bf16 or f32), one per pixel group.
-      dx/dy/fx/fy: [GX, P] f32 — integer corner offset inside the patch and
-        bilinear fraction, per output pixel (dx = x0 - anchor_x etc.).
-      c: channels; gx: pixels per group; kx: patch width.
+      patch: [P, ky*wx*C] gathered patches (bf16 or f32), one per group of
+        gy consecutive output-Y pixels; P = B*D*(H/gy)*W ordered (b,d,hg,x).
+      dx/dy/fx/fy: [GY, P] f32 — integer corner offset inside the patch
+        window and bilinear fraction per output pixel (dx = x0 - anchor_x).
+      c: channels; gy: pixels per group; ky/wx: patch window; w: row width.
 
-    Returns [C, GX, P] f32 blended samples.
+    Returns [C, P/W*GY, W] f32 — i.e. [C, B*D*H, W], natural pixel order.
     """
-    return _blend_fwd_impl(patch, dx, dy, fx, fy, c, gx, kx)
+    return _blend_fwd_impl(patch, dx, dy, fx, fy, c, gy, ky, wx, w)
 
 
-def _blend_fwd_impl(patch, dx, dy, fx, fy, c, gx, kx):
+def _blend_fwd_impl(patch, dx, dy, fx, fy, c, gy, ky, wx, w):
     p = patch.shape[0]
-    k3c = 3 * kx * c
-    assert k3c % _CHUNK == 0, f"3*kx*C={k3c} not a multiple of {_CHUNK}"
-    pb = 512
-    p_pad = -(-p // pb) * pb
-    patch_p = jnp.pad(patch, ((0, p_pad - p), (0, 0))) if p != p_pad else patch
-    coords = [_pad_p(a, p_pad) for a in (dx, dy, fx, fy)]
+    kc = ky * wx * c
+    assert kc % _CHUNK == 0, f"ky*wx*C={kc} not a multiple of {_CHUNK}"
+    assert p % w == 0
+    pbx = _pbx_for(w)
+    rows = p // w  # = B*D*Hg
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, c=c, kx=kx),
-        grid=(p_pad // pb,),
+        functools.partial(_fwd_kernel, c=c, ky=ky, wx=wx),
+        grid=(rows, w // pbx),
         in_specs=[
-            pl.BlockSpec((pb, k3c), lambda i: (i, 0)),
-        ] + [pl.BlockSpec((gx, pb), lambda i: (0, i))] * 4,
-        out_specs=pl.BlockSpec((c, gx, pb), lambda i: (0, 0, i)),
-        out_shape=jax.ShapeDtypeStruct((c, gx, p_pad), jnp.float32),
+            pl.BlockSpec((pbx, kc), lambda i, j: (i * (w // pbx) + j, 0)),
+        ] + [pl.BlockSpec((gy, pbx), lambda i, j: (0, i * (w // pbx) + j))] * 4,
+        out_specs=pl.BlockSpec((c, gy, pbx), lambda i, j: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((c, rows * gy, w), jnp.float32),
         interpret=_interpret(),
-    )(patch_p, *coords)
-    return out[:, :, :p]
+    )(patch, dx, dy, fx, fy)
+    return out
 
 
-def _blend_fwd(patch, dx, dy, fx, fy, c, gx, kx):
+def _blend_fwd(patch, dx, dy, fx, fy, c, gy, ky, wx, w):
     # residuals must be JAX types: carry patch's dtype via an empty exemplar
-    return _blend_fwd_impl(patch, dx, dy, fx, fy, c, gx, kx), (
+    return _blend_fwd_impl(patch, dx, dy, fx, fy, c, gy, ky, wx, w), (
         jnp.zeros((0,), patch.dtype), dx, dy, fx, fy)
 
 
-def _blend_bwd(c, gx, kx, res, g):
+def _blend_bwd(c, gy, ky, wx, w, res, g):
     pex, dx, dy, fx, fy = res
-    pdtype = pex.dtype
-    p, k3c = dx.shape[1], 3 * kx * c
-    pb = 512
-    p_pad = -(-p // pb) * pb
-    g_p = _pad_p(g, p_pad)
-    coords = [_pad_p(a, p_pad) for a in (dx, dy, fx, fy)]
+    p, kc = dx.shape[1], ky * wx * c
+    pbx = _pbx_for(w)
+    rows = p // w
 
     dpatch = pl.pallas_call(
-        functools.partial(_bwd_kernel, c=c, kx=kx),
-        grid=(p_pad // pb,),
+        functools.partial(_bwd_kernel, c=c, ky=ky, wx=wx),
+        grid=(rows, w // pbx),
         in_specs=[
-            pl.BlockSpec((c, gx, pb), lambda i: (0, 0, i)),
-        ] + [pl.BlockSpec((gx, pb), lambda i: (0, i))] * 4,
-        out_specs=pl.BlockSpec((pb, k3c), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((p_pad, k3c), pdtype),
+            pl.BlockSpec((c, gy, pbx), lambda i, j: (0, i, j)),
+        ] + [pl.BlockSpec((gy, pbx), lambda i, j: (0, i * (w // pbx) + j))] * 4,
+        out_specs=pl.BlockSpec((pbx, kc), lambda i, j: (i * (w // pbx) + j, 0)),
+        out_shape=jax.ShapeDtypeStruct((p, kc), pex.dtype),
         interpret=_interpret(),
-    )(g_p.astype(jnp.float32), *coords)
-    return (dpatch[:p], None, None, None, None)
+    )(g.astype(jnp.float32), dx, dy, fx, fy)
+    return (dpatch, None, None, None, None)
 
 
-blend_xgrouped.defvjp(_blend_fwd, _blend_bwd)
+blend_ygrouped.defvjp(_blend_fwd, _blend_bwd)

@@ -221,9 +221,9 @@ def test_xgrouped_warp_per_pixel_hypotheses():
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
 
 
-def test_pallas_blend_matches_xla_backend():
-    """The Pallas warp-blend kernel (ops/pallas/warp_blend.py, interpret mode
-    on CPU) must reproduce the XLA blend exactly on a full-range sweep."""
+def test_pallas_ygrouped_matches_plain_full_range():
+    """The Pallas warp path (y-grouped gather + blend kernel, interpret mode
+    on CPU) must reproduce the per-sample sampler on a full-range sweep."""
     rng = np.random.RandomState(8)
     b, h, w, c, d = 1, 32, 48, 8, 6
     feat = rng.randn(b, h, w, c).astype(np.float32)
@@ -233,19 +233,47 @@ def test_pallas_blend_matches_xla_backend():
     src_proj = compose(src_intr, src_ext)[None]
     dv = np.linspace(2.0, 6.0, d, dtype=np.float32)[None].repeat(b, 0)
 
-    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_xgrouped
+    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_ygrouped
 
-    got, _ = homography_warp_xgrouped(
-        feat, src_proj, ref_proj, dv, gx=8, kx=16, backend="pallas")
-    ref, _ = homography_warp_xgrouped(
-        feat, src_proj, ref_proj, dv, gx=8, kx=16, backend="xla")
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
+    got, inv_g = homography_warp_ygrouped(feat, src_proj, ref_proj, dv)
+    got = np.asarray(got).reshape(b, d, c, h, w).transpose(0, 1, 3, 4, 2)
+    ref, inv = homography_warp(feat, src_proj, ref_proj, dv)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(inv_g), np.asarray(inv))
 
 
-def test_pallas_blend_grad_matches_xla_backend():
+def test_pallas_ygrouped_per_pixel_hypotheses():
+    """Per-pixel depth maps (the cascade's scheduled bands) + a camera pair
+    with roll, through the Pallas y-grouped path."""
+    rng = np.random.RandomState(7)
+    b, h, w, c, d = 1, 24, 40, 4, 4
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.08, tx=0.3)
+    roll = 0.05
+    rz = np.array([
+        [np.cos(roll), -np.sin(roll), 0],
+        [np.sin(roll), np.cos(roll), 0],
+        [0, 0, 1]], dtype=np.float32)
+    src_ext[:3, :3] = rz @ src_ext[:3, :3]
+    ref_proj = compose(ref_intr, ref_ext)[None]
+    src_proj = compose(src_intr, src_ext)[None]
+    base = np.linspace(3.5, 4.5, d, dtype=np.float32)
+    dv = np.broadcast_to(base[None, :, None, None], (b, d, h, w)).copy()
+    dv = dv * rng.uniform(0.95, 1.05, size=(b, 1, h, w)).astype(np.float32)
+
+    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_ygrouped
+
+    got, _ = homography_warp_ygrouped(feat, src_proj, ref_proj, dv)
+    got = np.asarray(got).reshape(b, d, c, h, w).transpose(0, 1, 3, 4, 2)
+    ref, _ = homography_warp(feat, src_proj, ref_proj, dv)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_ygrouped_grad_matches_plain():
     """custom-VJP of the blend kernel: gradients wrt the SOURCE FEATURES
-    (through patch-gather scatter + the backward kernel) match the XLA path."""
+    (through the patch-gather scatter + the backward kernel) match the
+    per-sample sampler's gradients."""
     import jax
     import jax.numpy as jnp
 
@@ -259,18 +287,24 @@ def test_pallas_blend_grad_matches_xla_backend():
     dv = jnp.asarray(np.linspace(3.0, 5.0, d, dtype=np.float32)[None])
     g = jnp.asarray(rng.randn(b, d, c, h * w).astype(np.float32))
 
-    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_xgrouped
+    from mvsformerplusplus_tpu.ops.grid_sample import (
+        homography_warp,
+        homography_warp_ygrouped,
+    )
 
-    def loss(backend):
-        def f(x):
-            warped, _ = homography_warp_xgrouped(
-                x, src_proj, ref_proj, dv, gx=8, kx=16, backend=backend)
-            return jnp.sum(warped * g)
-        return f
+    def loss_pallas(x):
+        warped, _ = homography_warp_ygrouped(x, src_proj, ref_proj, dv)
+        return jnp.sum(warped * g)
 
-    gp = jax.grad(loss("pallas"))(jnp.asarray(feat))
-    gx_ = jax.grad(loss("xla"))(jnp.asarray(feat))
-    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx_),
+    def loss_plain(x):
+        warped, _ = homography_warp(x, src_proj, ref_proj, dv)
+        # [B, D, H, W, C] -> [B, D, C, N]
+        wt = jnp.moveaxis(warped, -1, 2).reshape(b, d, c, h * w)
+        return jnp.sum(wt * g)
+
+    gp = jax.grad(loss_pallas)(jnp.asarray(feat))
+    gr = jax.grad(loss_plain)(jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                rtol=1e-4, atol=1e-4)
 
 
