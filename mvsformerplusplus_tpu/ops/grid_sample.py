@@ -305,15 +305,12 @@ def bilinear_sample_ygrouped(
 
     from .pallas.warp_blend import blend_ygrouped
 
-    # pixel (b, d, hg*gy+g, x) -> group (b, d, hg, x), member g: every
-    # materialized tensor keeps W (or M'=Hg*W) minor
-    def to_gym(comp):  # [B, D, H, W] -> [B, D, GY, M']
-        return jnp.moveaxis(
-            comp.reshape(b, d, hg, gy, w), 3, 2).reshape(b, d, gy, m)
-
-    cf = coords.astype(jnp.float32)
-    x = to_gym(cf[..., 0])
-    y = to_gym(cf[..., 1])
+    # pixel (b, d, hg*gy+g, x) -> group (b, d, hg, x), member g: the
+    # [B, D, Hg, GY, W] view keeps W minor and GY (=8) sublane-sized, so
+    # every materialized tensor tiles cleanly
+    cf = coords.astype(jnp.float32).reshape(b, d, hg, gy, w, 2)
+    x = cf[..., 0]
+    y = cf[..., 1]
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = x - x0
@@ -321,9 +318,9 @@ def bilinear_sample_ygrouped(
 
     # anchors: per-group min corner over the GY axis, clamp-guarded against
     # diverged projections (see _xgrouped_prep)
-    ax = jnp.clip(jnp.min(jnp.clip(x0, -1, w - 1), axis=2), 0, w - wx)
-    ay = jnp.clip(jnp.min(jnp.clip(y0, -1, h - 1), axis=2), 0, h - ky)
-    ax = ax.astype(jnp.int32)  # [B, D, M']
+    ax = jnp.clip(jnp.min(jnp.clip(x0, -1, w - 1), axis=3), 0, w - wx)
+    ay = jnp.clip(jnp.min(jnp.clip(y0, -1, h - 1), axis=3), 0, h - ky)
+    ax = ax.astype(jnp.int32)  # [B, D, Hg, W]
     ay = ay.astype(jnp.int32)
 
     # x-major image with a wx-wide x-window folded into channels: ONE
@@ -350,15 +347,18 @@ def bilinear_sample_ygrouped(
         mode=jax.lax.GatherScatterMode.CLIP,
     )  # [B, D*Hg*W, ky*wx*C] in img dtype (bf16 patches, f32 blend in-kernel)
 
-    dxg = x0 - ax[:, :, None].astype(jnp.float32)  # [B, D, GY, M']
-    dyg = y0 - ay[:, :, None].astype(jnp.float32)
+    dxg = x0 - ax[:, :, :, None].astype(jnp.float32)  # [B, D, Hg, GY, W]
+    dyg = y0 - ay[:, :, :, None].astype(jnp.float32)
 
-    def to_gyp(a):  # [B, D, GY, M'] -> [GY, B*D*M']
-        return jnp.moveaxis(a, 2, 0).reshape(gy, b * d * m)
+    rows = b * d * hg
+
+    def to_rows(a):  # [B, D, Hg, GY, W] -> [ROWS, GY, W]
+        return a.reshape(rows, gy, w)
 
     out = blend_ygrouped(
         patch.reshape(b * d * m, ky * wx * c),
-        to_gyp(dxg), to_gyp(dyg), to_gyp(fx), to_gyp(fy), c, gy, ky, wx, w,
+        to_rows(dxg), to_rows(dyg), to_rows(fx), to_rows(fy),
+        c, gy, ky, wx, w,
     )  # [C, B*D*H, W]
     out = out.reshape(c, b, d, h * w)
     return jnp.transpose(out, (1, 2, 0, 3))  # [B, D, C, N], N minor

@@ -63,9 +63,9 @@ def _fwd_kernel(patch_ref, dx_ref, dy_ref, fx_ref, fy_ref, out_ref,
     """One (row-group, x-block) program: patch [PBX, ky*wx*C] ->
     out [C, GY, PBX] (8 consecutive output rows x PBX columns)."""
     kc = ky * wx * c
-    dy = dy_ref[:]
-    fy = fy_ref[:]
-    wxs = _col_weights(dx_ref[:], fx_ref[:], wx)
+    dy = dy_ref[0]  # [GY, PBX] (weights arrive as [1, GY, PBX] row blocks)
+    fy = fy_ref[0]
+    wxs = _col_weights(dx_ref[0], fx_ref[0], wx)
 
     acc = jnp.zeros((c, dy.shape[0], dy.shape[1]), jnp.float32)
     for j in range(kc // _CHUNK):
@@ -87,9 +87,9 @@ def _bwd_kernel(g_ref, dx_ref, dy_ref, fx_ref, fy_ref, dpatch_ref,
                 *, c: int, ky: int, wx: int):
     """dpatch [PBX, ky*wx*C] from dout [C, GY, PBX] (blend linear in patch)."""
     kc = ky * wx * c
-    dy = dy_ref[:]
-    fy = fy_ref[:]
-    wxs = _col_weights(dx_ref[:], fx_ref[:], wx)
+    dy = dy_ref[0]
+    fy = fy_ref[0]
+    wxs = _col_weights(dx_ref[0], fx_ref[0], wx)
     g = g_ref[:]  # [C, GY, PBX] f32
 
     for j in range(kc // _CHUNK):
@@ -106,7 +106,9 @@ def _bwd_kernel(g_ref, dx_ref, dy_ref, fx_ref, fy_ref, dpatch_ref,
 
 
 def _pbx_for(w: int, cap: int = 512) -> int:
-    for cand in range(min(cap, w), 0, -1):
+    """Largest 128-multiple divisor of w (<= cap); whole-W when none exists
+    (Mosaic requires lane blocks divisible by 128 or spanning the axis)."""
+    for cand in range(min(cap, w) // 128 * 128, 0, -128):
         if w % cand == 0:
             return cand
     return w
@@ -120,8 +122,10 @@ def blend_ygrouped(patch: Array, dx: Array, dy: Array, fx: Array, fy: Array,
     Args:
       patch: [P, ky*wx*C] gathered patches (bf16 or f32), one per group of
         gy consecutive output-Y pixels; P = B*D*(H/gy)*W ordered (b,d,hg,x).
-      dx/dy/fx/fy: [GY, P] f32 — integer corner offset inside the patch
-        window and bilinear fraction per output pixel (dx = x0 - anchor_x).
+      dx/dy/fx/fy: [ROWS=P/W, GY, W] f32 — integer corner offset inside the
+        patch window and bilinear fraction per output pixel
+        (dx = x0 - anchor_x). 3D so the lane block can span W exactly when
+        W is not a 128-multiple (Mosaic block divisibility rule).
       c: channels; gy: pixels per group; ky/wx: patch window; w: row width.
 
     Returns [C, P/W*GY, W] f32 — i.e. [C, B*D*H, W], natural pixel order.
@@ -142,7 +146,7 @@ def _blend_fwd_impl(patch, dx, dy, fx, fy, c, gy, ky, wx, w):
         grid=(rows, w // pbx),
         in_specs=[
             pl.BlockSpec((pbx, kc), lambda i, j: (i * (w // pbx) + j, 0)),
-        ] + [pl.BlockSpec((gy, pbx), lambda i, j: (0, i * (w // pbx) + j))] * 4,
+        ] + [pl.BlockSpec((1, gy, pbx), lambda i, j: (i, 0, j))] * 4,
         out_specs=pl.BlockSpec((c, gy, pbx), lambda i, j: (0, i, j)),
         out_shape=jax.ShapeDtypeStruct((c, rows * gy, w), jnp.float32),
         interpret=_interpret(),
@@ -158,16 +162,16 @@ def _blend_fwd(patch, dx, dy, fx, fy, c, gy, ky, wx, w):
 
 def _blend_bwd(c, gy, ky, wx, w, res, g):
     pex, dx, dy, fx, fy = res
-    p, kc = dx.shape[1], ky * wx * c
+    rows, kc = dx.shape[0], ky * wx * c
+    p = rows * w
     pbx = _pbx_for(w)
-    rows = p // w
 
     dpatch = pl.pallas_call(
         functools.partial(_bwd_kernel, c=c, ky=ky, wx=wx),
         grid=(rows, w // pbx),
         in_specs=[
             pl.BlockSpec((c, gy, pbx), lambda i, j: (0, i, j)),
-        ] + [pl.BlockSpec((gy, pbx), lambda i, j: (0, i * (w // pbx) + j))] * 4,
+        ] + [pl.BlockSpec((1, gy, pbx), lambda i, j: (i, 0, j))] * 4,
         out_specs=pl.BlockSpec((pbx, kc), lambda i, j: (i * (w // pbx) + j, 0)),
         out_shape=jax.ShapeDtypeStruct((p, kc), pex.dtype),
         interpret=_interpret(),

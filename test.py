@@ -37,16 +37,31 @@ def save_depths(args, cfg):
     from mvsformerplusplus_tpu.train.optim import make_optimizer
 
     with open(args.testlist) as f:
-        scans = [l.strip() for l in f if l.strip()]
-    scans = scans[args.rank::args.world]
+        all_scans = [l.strip() for l in f if l.strip()]
 
-    interval_scale = {s: args.interval_scale for s in scans}
-    ds = EvalDataset(
-        args.testpath, scans, nviews=args.num_view, ndepths=args.numdepth,
-        interval_scale=interval_scale, max_h=args.max_h, max_w=args.max_w,
-        dataset_name=args.dataset, gt_depth_path=args.gt_depth_path,
-    )
-    loader = EvalLoader(ds, num_workers=2)
+    if args.schedule == "queue":
+        # dynamic work stealing over the shared output FS: balanced under
+        # skewed per-scene work (parallel/scheduler.py), replacing the
+        # reference's hand-sharded per-scene runs (scripts/test_tt_inter.sh)
+        from mvsformerplusplus_tpu.parallel.scheduler import WorkQueue
+
+        queue = WorkQueue(args.outdir, all_scans,
+                          reclaim_stale_s=args.reclaim_stale or None)
+        scan_iter = iter(queue)
+    else:
+        queue = None
+        scan_iter = iter(all_scans[args.rank::args.world])
+
+    def loaders():
+        for scan in scan_iter:
+            ds = EvalDataset(
+                args.testpath, [scan], nviews=args.num_view,
+                ndepths=args.numdepth,
+                interval_scale={scan: args.interval_scale},
+                max_h=args.max_h, max_w=args.max_w,
+                dataset_name=args.dataset, gt_depth_path=args.gt_depth_path,
+            )
+            yield scan, EvalLoader(ds, num_workers=2)
 
     model = build_model(cfg, dtype=jnp.bfloat16)
     tmp = tuple(args.tmp)
@@ -64,7 +79,9 @@ def save_depths(args, cfg):
     variables = None
     times = []
     metric_sums = []
-    for sample in loader:
+    done_scans = []
+    for cur_scan, loader in loaders():
+      for sample in loader:
         imgs = jnp.asarray(sample["imgs"])[None]
         cams = jax.tree.map(lambda x: jnp.asarray(x)[None], sample["cams"])
         dv = jnp.asarray(sample["depth_values"])[None]
@@ -159,6 +176,9 @@ def save_depths(args, cfg):
             m = depth_metrics(depth[None], gt[None], (gt > 0)[None])
             metric_sums.append({k: float(v) for k, v in m.items()})
         logging.info("%s view %d done (%.2fs)", scan, ref, times[-1])
+      done_scans.append(cur_scan)
+      if queue is not None:
+          queue.mark_done(cur_scan)
     if times:
         logging.info("average time: %.3fs over %d views",
                      float(np.mean(times[1:] or times)), len(times))
@@ -170,7 +190,7 @@ def save_depths(args, cfg):
                 f.write(f"{k}: {v:.6f}\n")
         logging.info("depth metrics -> %s: %s", out_path,
                      {k: round(v, 4) for k, v in avg.items()})
-    return scans
+    return done_scans
 
 
 def fuse_scan(args, scan):
@@ -222,7 +242,7 @@ def fuse_scan(args, scan):
                 prob_threshold=args.prob_threshold,
                 disp_threshold=args.disp_threshold,
                 num_consistent=args.num_consistent)
-            mask = np.asarray(mask)
+            mask = np.array(mask)  # writable copy (device arrays are RO)
             if ref in used:
                 mask &= ~used[ref]
             used.setdefault(ref, np.zeros_like(mask))
@@ -308,6 +328,13 @@ def main():
     p.add_argument("--fusion_view", type=int, default=10)
     p.add_argument("--rank", type=int, default=0)
     p.add_argument("--world", type=int, default=1)
+    p.add_argument("--schedule", default="static", choices=["static", "queue"],
+                   help="static: stride scans by --rank/--world; queue: "
+                        "dynamic work stealing via atomic claim files in "
+                        "--outdir (balanced under skewed per-scene work)")
+    p.add_argument("--reclaim_stale", type=float, default=0.0,
+                   help="queue mode: steal claims older than this many "
+                        "seconds with no .done (crashed-worker recovery)")
     p.add_argument("--gt_depth_path", default=None,
                    help="DTU GT depth dir -> writes depth_metric.txt (reference test.py:297-319)")
     p.add_argument("--skip_depth", action="store_true", help="fusion only")

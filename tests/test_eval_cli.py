@@ -87,3 +87,27 @@ def test_eval_cli_end_to_end(tmp_path):
     pts, cols = read_ply(ply)
     assert pts.ndim == 2 and pts.shape[1] == 3
     assert cols is not None
+
+    # queue mode (work-stealing scheduler): same scan, gipuma fusion; a
+    # second queue worker run finds everything claimed and does nothing
+    out = subprocess.run(
+        [sys.executable, str(REPO / "test.py"),
+         "--config", str(tmp_path / "cfg.json"),
+         "--testpath", str(tmp_path / "data"),
+         "--testlist", str(tmp_path / "list.txt"),
+         "--outdir", str(tmp_path / "out_q"),
+         "--num_view", "3", "--numdepth", "32",
+         "--max_h", "128", "--max_w", "192",
+         "--schedule", "queue",
+         "--filter_method", "gipuma", "--prob_threshold", "0.0",
+         "--disp_threshold", "1.0", "--num_consistent", "1",
+         "--fusion_view", "3"],
+        capture_output=True, text=True, env=env, timeout=540, cwd=str(REPO),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert (tmp_path / "out_q" / ".claims" / f"{scan}.done").exists()
+    assert (tmp_path / "out_q" / f"{scan}.ply").exists()
+
+    from mvsformerplusplus_tpu.parallel.scheduler import WorkQueue
+
+    assert WorkQueue(tmp_path / "out_q", [scan]).pending() == []
