@@ -128,3 +128,20 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
     assert (ckpt_dir / "best.json").exists()
     best = json.loads((ckpt_dir / "best.json").read_text())
     assert np.isfinite(best["monitor_best"])
+
+    # finetune with reset_sche=false: optimizer state restored and the LR
+    # schedule continued at the checkpoint's step (reference train.py:163-167
+    # scheduler fast-forward semantics)
+    cfg["arch"]["reset_sche"] = False
+    cfg["arch"]["dtu_model_path"] = str(ckpt_dir)
+    ft_path = tmp_path / "cfg_ft.json"
+    ft_path.write_text(json.dumps(cfg))
+    out = subprocess.run(
+        [sys.executable, str(REPO / "train.py"), "-c", str(ft_path),
+         "--finetune", "--save_dir", str(tmp_path / "saved_ft")],
+        capture_output=True, text=True, env=env, timeout=900, cwd=str(REPO))
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-3000:])
+    logtxt = out.stderr + out.stdout
+    m = [l for l in logtxt.splitlines() if "schedule continued at step" in l]
+    assert m, logtxt[-3000:]
+    assert int(m[0].rsplit("step", 1)[1].strip()) > 0, m[0]

@@ -199,8 +199,23 @@ def main():
     p.add_argument("--out_dir", default=None)
     p.add_argument("--max_d", type=int, default=192)
     p.add_argument("--interval_scale", type=float, default=1.06)
+    p.add_argument("--matcher", default="orb", choices=["orb", "dino"],
+                   help="'dino': RoMa-class dense matching on frozen DINOv2-B "
+                        "patch tokens (tools/dino_match.py) — use for "
+                        "low-texture scenes where ORB starves; needs "
+                        "--vit_path")
+    p.add_argument("--vit_path", default=None,
+                   help="converted DINOv2 weights (.npz) for --matcher dino")
     args = p.parse_args()
-    convert(args.scene_dir, args.out_dir, args.max_d, args.interval_scale)
+    match_fn = orb_match
+    if args.matcher == "dino":
+        if not args.vit_path:
+            p.error("--matcher dino requires --vit_path")
+        from tools.dino_match import make_dino_matcher
+
+        match_fn = make_dino_matcher(args.vit_path)
+    convert(args.scene_dir, args.out_dir, args.max_d, args.interval_scale,
+            match_fn=match_fn)
 
 
 if __name__ == "__main__":

@@ -207,16 +207,30 @@ def main():
                         "only smoke runs should proceed", vit_path)
     if args.finetune:
         # finetune (reference train.py:147-176): load model weights from the
-        # DTU run but start a FRESH optimizer/schedule (reset_sche semantics;
-        # the schedule is a pure function of the new opt_state's step count)
+        # DTU run. reset_sche=true (config) starts a FRESH optimizer/schedule;
+        # reset_sche=false continues the optimizer (moments) and fast-forwards
+        # the schedule — the reference replays epoch*len(loader) scheduler
+        # steps on the new scheduler (train.py:163-167); here the schedule is
+        # a pure function of the opt_state step count, so restoring opt_state
+        # (including step) evaluates the new config's schedule at the old
+        # step — the same semantics without the replay loop.
         from mvsformerplusplus_tpu.train.checkpoints import CheckpointManager
 
         src = args.dtu_model_path or cfg.get_path("arch.dtu_model_path")
         mgr = CheckpointManager(src)
         restored, epoch = mgr.restore(state, epoch=mgr.best_epoch())
-        state = state.replace(params=restored.params,
-                              batch_stats=restored.batch_stats)
-        logging.info("finetuning from %s (epoch %s)", src, epoch)
+        if cfg.get_path("arch.reset_sche", True):
+            state = state.replace(params=restored.params,
+                                  batch_stats=restored.batch_stats)
+            logging.info("finetuning from %s (epoch %s), fresh schedule",
+                         src, epoch)
+        else:
+            state = state.replace(params=restored.params,
+                                  batch_stats=restored.batch_stats,
+                                  opt_state=restored.opt_state,
+                                  step=restored.step)
+            logging.info("finetuning from %s (epoch %s), schedule continued "
+                         "at step %s", src, epoch, int(restored.step))
     elif args.resume:
         state, start_epoch = trainer.resume(state)
 
