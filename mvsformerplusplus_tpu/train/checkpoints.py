@@ -32,10 +32,15 @@ class CheckpointManager:
         self.monitor_best = float("inf")
 
     def save(self, epoch: int, state, config: Optional[dict] = None,
-             monitor_value: Optional[float] = None) -> bool:
+             monitor_value: Optional[float] = None,
+             interrupted: bool = False) -> bool:
         """Save epoch checkpoint; track/flag best (min monitor). Returns
-        whether this epoch is the new best."""
-        self.manager.save(epoch, args=ocp.args.StandardSave(state))
+        whether this epoch is the new best.
+
+        interrupted=True marks a preemption save taken MID-epoch: resume
+        re-runs that epoch instead of advancing past it."""
+        self.manager.save(epoch, args=ocp.args.StandardSave(state),
+                          force=interrupted)
         self.manager.wait_until_finished()
         is_best = False
         if monitor_value is not None and monitor_value < self.monitor_best:
@@ -45,9 +50,16 @@ class CheckpointManager:
             is_best = True
         if config is not None:
             (self.directory / "config.json").write_text(json.dumps(config, indent=2))
-        meta = {"last_epoch": epoch, "monitor_best": self.monitor_best}
+        meta = {"last_epoch": epoch, "monitor_best": self.monitor_best,
+                "interrupted": interrupted}
         (self.directory / "meta.json").write_text(json.dumps(meta))
         return is_best
+
+    def was_interrupted(self) -> bool:
+        p = self.directory / "meta.json"
+        if p.exists():
+            return bool(json.loads(p.read_text()).get("interrupted", False))
+        return False
 
     def latest_epoch(self) -> Optional[int]:
         return self.manager.latest_step()

@@ -148,14 +148,39 @@ class Trainer:
     def resume(self, state: TrainState) -> tuple:
         try:
             state, epoch = self.ckpt.restore(state)
+            if self.ckpt.was_interrupted():
+                # preemption save taken mid-epoch: re-run that epoch
+                log.info("resumed from interrupt checkpoint (epoch %d)", epoch)
+                return state, epoch
             log.info("resumed from epoch %d", epoch)
             return state, epoch + 1
         except FileNotFoundError:
             return state, 0
 
+    def _install_preemption_handler(self):
+        """SIGTERM (the preemption signal of every TPU scheduler class) and
+        SIGINT set a flag; the step loop drains the current step, saves an
+        interrupt checkpoint, and exits cleanly — the elastic-recovery story
+        the reference lacks entirely (SURVEY §5: restart there is manual
+        --resume from the last epoch boundary, losing up to an epoch)."""
+        import signal
+
+        def _flag(signum, frame):
+            log.warning("signal %d: checkpointing at next step boundary",
+                        signum)
+            self._preempted = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                signal.signal(sig, _flag)
+            except ValueError:  # not the main thread (tests)
+                return
+
     def train(self, state: Optional[TrainState] = None,
               start_epoch: int = 0) -> TrainState:
         not_improved = 0
+        self._preempted = False
+        self._install_preemption_handler()
 
         for epoch in range(start_epoch, self.epochs):
             t0 = time.time()
@@ -172,6 +197,13 @@ class Trainer:
                 state, logs = self._step_for(n_micro)(state, batch)
                 n_steps += 1
                 self.global_step += 1
+                if self._preempted:
+                    jax.block_until_ready(logs["loss"])
+                    self.ckpt.save(epoch, state, config=self.config,
+                                   interrupted=True)
+                    log.info("interrupt checkpoint saved at epoch %d step %d",
+                             epoch, i)
+                    return state
                 if i % self.logging_every == 0:
                     loss = float(logs["loss"])
                     log.info("epoch %d step %d crop %s micro %d loss %.4f gnorm %.3f",
