@@ -155,8 +155,16 @@ class StageNet(nn.Module):
         mode = self.warp_mode
         if mode == "grouped" and self.ndepth > self.grouped_warp_th:
             mode = "folded"  # depth-grouping unsound for full-range sweeps
-        if mode == "pallas" and (c % 4 != 0 or h % self.xgrouped_gx != 0):
-            mode = "folded"  # kernel needs C%4==0 (chunked transpose) + H%gy
+        if mode == "pallas" and (c % 8 != 0 or h % self.xgrouped_gx != 0
+                                 or w % 128 != 0 or c > 16):
+            # kernel slices cells on f32 sublanes (C%8), groups H rows (H%gy),
+            # and blocks the patch's minor P=B*D*Hg*W dim in 128-lane
+            # multiples that must not straddle row boundaries (W%128).
+            # C>16: the blend's masked-MAC compute scales with C while the
+            # gather saving is fixed — measured crossover on v5e is between
+            # C=16 (1.25x faster than folded) and C=32 (1.27x slower), so the
+            # coarse stages keep the folded single-gather path
+            mode = "folded"
         grouped = mode in ("grouped", "xgrouped", "pallas")
         sub = c // self.groups
 

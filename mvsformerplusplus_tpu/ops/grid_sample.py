@@ -275,6 +275,7 @@ def _xgrouped_prep(img: Array, coords: Array, gx: int, kx: int):
 
 def bilinear_sample_ygrouped(
     img: Array, coords: Array, gy: int = 8, ky: int = 16, wx: int = 6,
+    patch_budget: int = 1 << 30,
 ) -> Array:
     """Bilinear sampling where GY consecutive OUTPUT ROWS share one patch
     gather, blended by the layout-pinned Pallas kernel — the production TPU
@@ -294,6 +295,10 @@ def bilinear_sample_ygrouped(
     Args:
       img: [B, H, W, C] source features; H % gy == 0, C % 4 == 0.
       coords: [B, D, H, W, 2] pixel-unit (x, y).
+      patch_budget: cap (bytes) on the materialized patch temp — the depth
+        axis is chunked with lax.map so the [B*Dc*Hg*W, ky, wx*C] gather
+        output stays under it (stage 4 DTU eval would otherwise peak at
+        ~5.4 GB per source view).
 
     Returns [B, D, C, H*W] fp32 (N-minor).
     """
@@ -305,63 +310,90 @@ def bilinear_sample_ygrouped(
 
     from .pallas.warp_blend import blend_ygrouped
 
-    # pixel (b, d, hg*gy+g, x) -> group (b, d, hg, x), member g: the
-    # [B, D, Hg, GY, W] view keeps W minor and GY (=8) sublane-sized, so
-    # every materialized tensor tiles cleanly
-    cf = coords.astype(jnp.float32).reshape(b, d, hg, gy, w, 2)
-    x = cf[..., 0]
-    y = cf[..., 1]
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-
-    # anchors: per-group min corner over the GY axis, clamp-guarded against
-    # diverged projections (see _xgrouped_prep)
-    ax = jnp.clip(jnp.min(jnp.clip(x0, -1, w - 1), axis=3), 0, w - wx)
-    ay = jnp.clip(jnp.min(jnp.clip(y0, -1, h - 1), axis=3), 0, h - ky)
-    ax = ax.astype(jnp.int32)  # [B, D, Hg, W]
-    ay = ay.astype(jnp.int32)
-
-    # x-major image with a wx-wide x-window folded into channels: ONE
-    # contiguous ky*wx*C slice per patch (rows of the flat operand are x
-    # positions, so the ky-row span along y is contiguous)
+    # x-major image with a wx-wide x-window folded into channels. The gather
+    # slice (1, 1, ky, wx*C) covers the FULL minor dim: XLA's TPU backend
+    # keeps full-minor slices as a native gather, while any partial-minor
+    # slice (a flat [B, W, H*wx*C] operand) is expanded into a while-loop of
+    # dynamic-slices (~10 s/map measured). The ky rows of the slice are
+    # contiguous in memory (H and the folded channels are the two minor
+    # dims), so each index fetches one contiguous ky*wx*C run. wx=8 keeps
+    # wx*C at 64/128 for C=8/16 so the (8/16, 128) tile pads the [N, ky,
+    # wx*C] gather output at most 2x (a transposed gather output — offset
+    # dims first — lowers to gather + materialized transpose and OOMs).
     img_t = jnp.transpose(img, (0, 2, 1, 3))  # [B, W, H, C]
     img_tp = jnp.pad(img_t, ((0, 0), (0, wx - 1), (0, 0), (0, 0)))
     augx = jnp.concatenate(
         [img_tp[:, i:i + w] for i in range(wx)], axis=-1)  # [B, W, H, wx*C]
-    augx_flat = augx.reshape(b, w, h * wx * c)
 
-    npix = d * m
-    starts = jnp.stack(
-        [ax.reshape(b, npix), ay.reshape(b, npix) * (wx * c)], axis=-1)
+    # offset_dims=(0, 1): the gather RESULT is [ky, wx*C, B, N] — the
+    # blend kernel's cell-major layout with the huge N dim minor. XLA
+    # implements this as gather + transpose whose [N, ky, wx*C] temp is
+    # tile-padded (wx*C < 128 lanes); the lax.map chunking below bounds
+    # that temp (measured faster end-to-end than feeding the kernel the
+    # native [N, ky, wx*C] layout and transposing slabs in-kernel:
+    # 96 vs 143 ms at DTU stage-4 scale).
     dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(2,),
+        offset_dims=(0, 1),
         collapsed_slice_dims=(1,),
         start_index_map=(1, 2),
         operand_batching_dims=(0,),
         start_indices_batching_dims=(0,),
     )
-    patch = jax.lax.gather(
-        augx_flat, starts, dnums, slice_sizes=(1, 1, ky * wx * c),
-        mode=jax.lax.GatherScatterMode.CLIP,
-    )  # [B, D*Hg*W, ky*wx*C] in img dtype (bf16 patches, f32 blend in-kernel)
 
-    dxg = x0 - ax[:, :, :, None].astype(jnp.float32)  # [B, D, Hg, GY, W]
-    dyg = y0 - ay[:, :, :, None].astype(jnp.float32)
+    def sample_chunk(coords_c: Array) -> Array:
+        """[B, Dc, H, W, 2] -> [B, Dc, C, H*W] through gather + blend."""
+        dc = coords_c.shape[1]
+        # pixel (b, d, hg*gy+g, x) -> group (b, d, hg, x), member g: the
+        # [B, Dc, Hg, GY, W] view keeps W minor and GY (=8) sublane-sized,
+        # so every materialized tensor tiles cleanly
+        cf = coords_c.astype(jnp.float32).reshape(b, dc, hg, gy, w, 2)
+        x = cf[..., 0]
+        y = cf[..., 1]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
 
-    rows = b * d * hg
+        # anchors: per-group min corner over the GY axis, clamp-guarded
+        # against diverged projections (see _xgrouped_prep)
+        ax = jnp.clip(jnp.min(jnp.clip(x0, -1, w - 1), axis=3), 0, w - wx)
+        ay = jnp.clip(jnp.min(jnp.clip(y0, -1, h - 1), axis=3), 0, h - ky)
+        ax = ax.astype(jnp.int32)  # [B, Dc, Hg, W]
+        ay = ay.astype(jnp.int32)
 
-    def to_rows(a):  # [B, D, Hg, GY, W] -> [ROWS, GY, W]
-        return a.reshape(rows, gy, w)
+        npix = dc * m
+        starts = jnp.stack([ax.reshape(b, npix), ay.reshape(b, npix)], -1)
+        patch = jax.lax.gather(
+            augx, starts, dnums, slice_sizes=(1, 1, ky, wx * c),
+            mode=jax.lax.GatherScatterMode.CLIP,
+        )  # [ky, wx*C, B, N] in img dtype (bf16 patches, f32 blend in-kernel)
 
-    out = blend_ygrouped(
-        patch.reshape(b * d * m, ky * wx * c),
-        to_rows(dxg), to_rows(dyg), to_rows(fx), to_rows(fy),
-        c, gy, ky, wx, w,
-    )  # [C, B*D*H, W]
-    out = out.reshape(c, b, d, h * w)
-    return jnp.transpose(out, (1, 2, 0, 3))  # [B, D, C, N], N minor
+        dxg = x0 - ax[:, :, :, None].astype(jnp.float32)  # [B,Dc,Hg,GY,W]
+        dyg = y0 - ay[:, :, :, None].astype(jnp.float32)
+
+        rows = b * dc * hg
+
+        def to_rows(a):  # [B, Dc, Hg, GY, W] -> [ROWS, GY, W]
+            return a.reshape(rows, gy, w)
+
+        out = blend_ygrouped(
+            patch.reshape(ky, wx * c, b * npix),
+            to_rows(dxg), to_rows(dyg), to_rows(fx), to_rows(fy),
+            c, gy, ky, wx, w,
+        )  # [C, B*Dc*H, W]
+        out = out.reshape(c, b, dc, h * w)
+        return jnp.transpose(out, (1, 2, 0, 3))  # [B, Dc, C, N], N minor
+
+    bytes_per_d = b * m * ky * max(wx * c, 128) * img.dtype.itemsize
+    dc = max(1, min(d, patch_budget // max(1, bytes_per_d)))
+    while d % dc:
+        dc -= 1
+    if dc == d:
+        return sample_chunk(coords)
+    chunks = jnp.moveaxis(
+        coords.reshape(b, d // dc, dc, h, w, 2), 1, 0)  # [nc, B, dc, H, W, 2]
+    out = jax.lax.map(sample_chunk, chunks)  # [nc, B, dc, C, N]
+    return jnp.moveaxis(out, 0, 1).reshape(b, d, c, h * w)
 
 
 def bilinear_sample_xgrouped(

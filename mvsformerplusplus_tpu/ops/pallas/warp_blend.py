@@ -4,10 +4,21 @@ Replaces the hot half of the reference's grid_sample warp
 (models/warping.py:69-109, SURVEY §3.3 hot-loop #1). The pipeline is split:
 
 - XLA does the index-bound PATCH GATHER: one [ky, wx] source patch per GY=8
-  consecutive output pixels along Y (ops/grid_sample.py _ygrouped_prep — 8x
-  fewer gather indices than per-sample gathering);
-- this kernel does the bandwidth/layout-bound BLEND: expanding each patch
-  into gy bilinearly-weighted output pixels.
+  consecutive output pixels along Y (ops/grid_sample.py
+  bilinear_sample_ygrouped — 8x fewer gather indices than per-sample
+  gathering). The gather slice spans the FULL minor dim of the operand
+  ([B, W, H, wx*C], slice (1, 1, ky, wx*C)): XLA's TPU backend keeps
+  full-minor-dim slices as a native gather, while ANY partial-minor slice is
+  expanded to a while-loop of dynamic-slices (~10 s/map measured — the r2
+  regression). The gather output is requested TRANSPOSED (offset_dims
+  first, [ky, wx*C, N]) — the blend kernel's cell-major layout with the
+  huge N dim minor. XLA lowers that to gather + transpose whose [N, ky,
+  wx*C] temp is tile-padded (13.5 GB unchunked at DTU stage-4 scale), so
+  the caller lax.map-chunks the depth axis to bound it; this still beats
+  consuming the native [N, ky, wx*C] layout with in-kernel slab
+  transposes (96 vs 143 ms at stage-4 scale).
+- this kernel does the bandwidth-bound BLEND: expanding each patch into gy
+  bilinearly-weighted output pixels.
 
 Why Y-grouping (not X): a group's outputs must reassemble into natural
 (H, W) pixel order. Grouping along X leaves the 8 group members strided in
@@ -25,13 +36,7 @@ window or the image (the patch window is sized so in-image corners stay
 inside for |dv/dy| <= (ky-2)/(gy-1) = 2 and |du/dy| <= (wx-2)/(gy-1) ~ 0.57;
 beyond that — extreme epipolar slopes — samples degrade to zeros, the same
 class as out-of-FOV). Parity-tested against the per-sample sampler in
-tests/test_grid_sample.py and bit-exact vs the XLA blend on real TPU.
-
-In-kernel patch transpose: native Mosaic transposes per 384-column chunk
-(an identity-matrix MXU matmul also works but runs at default matmul
-precision, quantizing f32 patches to bf16 — measured 8e-3 error on real
-hardware). Cell channels are then SUBLANE slices of the f32 chunk (aligned
-for C % 4 == 0; f32 sublane tile is 8).
+tests/test_grid_sample.py.
 """
 from __future__ import annotations
 
@@ -42,8 +47,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 Array = jax.Array
-
-_CHUNK = 384  # transpose chunk: 3 * 128 lanes; divides ky*wx*C for C % 4 == 0
 
 
 def _interpret() -> bool:
@@ -60,49 +63,41 @@ def _col_weights(dx: Array, fx: Array, wx: int):
 
 def _fwd_kernel(patch_ref, dx_ref, dy_ref, fx_ref, fy_ref, out_ref,
                 *, c: int, ky: int, wx: int):
-    """One (row-group, x-block) program: patch [PBX, ky*wx*C] ->
-    out [C, GY, PBX] (8 consecutive output rows x PBX columns)."""
-    kc = ky * wx * c
+    """One (row-group, x-block) program: patch [ky, wx*C, PBX] ->
+    out [C, GY, PBX] (gy consecutive output rows x PBX columns).
+
+    Patch cells arrive cell-major ([yy, xx*C:(xx+1)*C, :] is the [C, PBX]
+    slab of window cell (yy, xx)) so each multiply-add reads a plain f32
+    sublane slice — no transposes anywhere in the kernel."""
     dy = dy_ref[0]  # [GY, PBX] (weights arrive as [1, GY, PBX] row blocks)
     fy = fy_ref[0]
     wxs = _col_weights(dx_ref[0], fx_ref[0], wx)
 
     acc = jnp.zeros((c, dy.shape[0], dy.shape[1]), jnp.float32)
-    for j in range(kc // _CHUNK):
-        # [CHUNK, PBX] f32: native Mosaic transpose (an identity MXU matmul
-        # would run at default precision and quantize f32 patches to bf16)
-        chunk_t = patch_ref[:, j * _CHUNK:(j + 1) * _CHUNK].astype(
-            jnp.float32).T
-        for cell in range(_CHUNK // c):
-            flat = j * (_CHUNK // c) + cell  # = yy * wx + xx
-            yy, xx = flat // wx, flat % wx
-            wgt = jnp.where(dy == yy, 1 - fy,
-                            jnp.where(dy == yy - 1, fy, 0.0)) * wxs[xx]
-            cell_t = chunk_t[cell * c:(cell + 1) * c, :]  # [C, PBX]
-            acc = acc + cell_t[:, None, :] * wgt[None]
+    for yy in range(ky):
+        slab = patch_ref[yy].astype(jnp.float32)  # [wx*C, PBX]
+        wy = jnp.where(dy == yy, 1 - fy, jnp.where(dy == yy - 1, fy, 0.0))
+        for xx in range(wx):
+            cell_t = slab[xx * c:(xx + 1) * c, :]  # [C, PBX]
+            acc = acc + cell_t[:, None, :] * (wy * wxs[xx])[None]
     out_ref[:] = acc
 
 
 def _bwd_kernel(g_ref, dx_ref, dy_ref, fx_ref, fy_ref, dpatch_ref,
                 *, c: int, ky: int, wx: int):
-    """dpatch [PBX, ky*wx*C] from dout [C, GY, PBX] (blend linear in patch)."""
-    kc = ky * wx * c
+    """dpatch [ky, wx*C, PBX] from dout [C, GY, PBX] (blend linear in patch)."""
     dy = dy_ref[0]
     fy = fy_ref[0]
     wxs = _col_weights(dx_ref[0], fx_ref[0], wx)
     g = g_ref[:]  # [C, GY, PBX] f32
 
-    for j in range(kc // _CHUNK):
-        rows = []
-        for cell in range(_CHUNK // c):
-            flat = j * (_CHUNK // c) + cell
-            yy, xx = flat // wx, flat % wx
-            wgt = jnp.where(dy == yy, 1 - fy,
-                            jnp.where(dy == yy - 1, fy, 0.0)) * wxs[xx]
-            rows.append(jnp.sum(g * wgt[None], axis=1))  # [C, PBX]
-        chunk_t = jnp.concatenate(rows, axis=0)  # [CHUNK, PBX]
-        dpatch_ref[:, j * _CHUNK:(j + 1) * _CHUNK] = chunk_t.T.astype(
-            dpatch_ref.dtype)
+    for yy in range(ky):
+        wy = jnp.where(dy == yy, 1 - fy, jnp.where(dy == yy - 1, fy, 0.0))
+        rows = [
+            jnp.sum(g * (wy * wxs[xx])[None], axis=1)  # [C, PBX]
+            for xx in range(wx)
+        ]
+        dpatch_ref[yy] = jnp.concatenate(rows, axis=0).astype(dpatch_ref.dtype)
 
 
 def _pbx_for(w: int, cap: int = 512) -> int:
@@ -120,8 +115,9 @@ def blend_ygrouped(patch: Array, dx: Array, dy: Array, fx: Array, fy: Array,
     """Expand gathered patches into bilinear samples, TPU-layout-safe.
 
     Args:
-      patch: [P, ky*wx*C] gathered patches (bf16 or f32), one per group of
-        gy consecutive output-Y pixels; P = B*D*(H/gy)*W ordered (b,d,hg,x).
+      patch: [ky, wx*C, P] gathered patches (bf16 or f32), cell-major with
+        the huge P dim minor — one [ky, wx*C] window per group of gy
+        consecutive output-Y pixels; P = B*D*(H/gy)*W ordered (b, d, hg, x).
       dx/dy/fx/fy: [ROWS=P/W, GY, W] f32 — integer corner offset inside the
         patch window and bilinear fraction per output pixel
         (dx = x0 - anchor_x). 3D so the lane block can span W exactly when
@@ -134,9 +130,8 @@ def blend_ygrouped(patch: Array, dx: Array, dy: Array, fx: Array, fy: Array,
 
 
 def _blend_fwd_impl(patch, dx, dy, fx, fy, c, gy, ky, wx, w):
-    p = patch.shape[0]
-    kc = ky * wx * c
-    assert kc % _CHUNK == 0, f"ky*wx*C={kc} not a multiple of {_CHUNK}"
+    p = patch.shape[-1]
+    assert patch.shape[:2] == (ky, wx * c), patch.shape
     assert p % w == 0
     pbx = _pbx_for(w)
     rows = p // w  # = B*D*Hg
@@ -145,7 +140,8 @@ def _blend_fwd_impl(patch, dx, dy, fx, fy, c, gy, ky, wx, w):
         functools.partial(_fwd_kernel, c=c, ky=ky, wx=wx),
         grid=(rows, w // pbx),
         in_specs=[
-            pl.BlockSpec((pbx, kc), lambda i, j: (i * (w // pbx) + j, 0)),
+            pl.BlockSpec((ky, wx * c, pbx),
+                         lambda i, j: (0, 0, i * (w // pbx) + j)),
         ] + [pl.BlockSpec((1, gy, pbx), lambda i, j: (i, 0, j))] * 4,
         out_specs=pl.BlockSpec((c, gy, pbx), lambda i, j: (0, i, j)),
         out_shape=jax.ShapeDtypeStruct((c, rows * gy, w), jnp.float32),
@@ -162,7 +158,7 @@ def _blend_fwd(patch, dx, dy, fx, fy, c, gy, ky, wx, w):
 
 def _blend_bwd(c, gy, ky, wx, w, res, g):
     pex, dx, dy, fx, fy = res
-    rows, kc = dx.shape[0], ky * wx * c
+    rows = dx.shape[0]
     p = rows * w
     pbx = _pbx_for(w)
 
@@ -172,8 +168,9 @@ def _blend_bwd(c, gy, ky, wx, w, res, g):
         in_specs=[
             pl.BlockSpec((c, gy, pbx), lambda i, j: (0, i, j)),
         ] + [pl.BlockSpec((1, gy, pbx), lambda i, j: (i, 0, j))] * 4,
-        out_specs=pl.BlockSpec((pbx, kc), lambda i, j: (i * (w // pbx) + j, 0)),
-        out_shape=jax.ShapeDtypeStruct((p, kc), pex.dtype),
+        out_specs=pl.BlockSpec((ky, wx * c, pbx),
+                               lambda i, j: (0, 0, i * (w // pbx) + j)),
+        out_shape=jax.ShapeDtypeStruct((ky, wx * c, p), pex.dtype),
         interpret=_interpret(),
     )(g.astype(jnp.float32), dx, dy, fx, fy)
     return (dpatch, None, None, None, None)
