@@ -19,6 +19,8 @@ border), verified golden-value against torch in tests/test_grid_sample.py.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -273,7 +275,66 @@ def _xgrouped_prep(img: Array, coords: Array, gx: int, kx: int):
     return patch, dx, dy, fx, fy
 
 
-def bilinear_sample_ygrouped(
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _gather_patches(augx: Array, starts: Array, ky: int, wxc: int) -> Array:
+    """Full-minor 2D-slice patch gather with a scatter-safe VJP.
+
+    Forward: native gather (the (1, 1, ky, wxc) slice spans the full minor
+    dim). Backward: autodiff's transpose would be a scatter-add with a 2D
+    update window, which XLA's TPU backend expands into a serial while-loop
+    of dynamic-update-slices (measured 7.1 s of an 8.4 s train step at the
+    DTU MS protocol — one iteration per index). Scatters with a 1D
+    full-minor window DO lower natively, so the hand-written VJP splits the
+    patch into its ky rows and issues ky native row scatter-adds.
+
+    starts is int32 (non-differentiable); coordinates reach it through
+    floor/cast so no tangent exists.
+    """
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0, 1),
+        collapsed_slice_dims=(1,),
+        start_index_map=(1, 2),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    return jax.lax.gather(
+        augx, starts, dnums, slice_sizes=(1, 1, ky, wxc),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )  # [ky, wxc, B, N]
+
+
+def _gather_patches_fwd(augx, starts, ky, wxc):
+    # residuals must be JAX types: carry augx's dtype via an empty exemplar
+    return _gather_patches(augx, starts, ky, wxc), (
+        starts, jnp.zeros((0,) + augx.shape, augx.dtype))
+
+
+def _gather_patches_bwd(ky, wxc, res, ct):
+    starts, ex = res
+    shape, dtype = ex.shape[1:], ex.dtype
+    dn1 = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(2,),
+        inserted_window_dims=(1, 2),
+        scatter_dims_to_operand_dims=(1, 2),
+        operand_batching_dims=(0,),
+        scatter_indices_batching_dims=(0,),
+    )
+    sx = starts[..., 0]
+    sy = starts[..., 1]
+    # f32 accumulator: repeated bf16 adds would round per-contribution
+    acc = jnp.zeros(shape, jnp.float32)
+    for r in range(ky):
+        acc = jax.lax.scatter_add(
+            acc, jnp.stack([sx, sy + r], -1),
+            jnp.moveaxis(ct[r], 0, -1).astype(jnp.float32), dn1,
+            mode=jax.lax.GatherScatterMode.CLIP)
+    return acc.astype(dtype), None
+
+
+_gather_patches.defvjp(_gather_patches_fwd, _gather_patches_bwd)
+
+
+def _ygrouped_impl(
     img: Array, coords: Array, gy: int = 8, ky: int = 16, wx: int = 6,
     patch_budget: int = 1 << 30,
 ) -> Array:
@@ -332,14 +393,6 @@ def bilinear_sample_ygrouped(
     # that temp (measured faster end-to-end than feeding the kernel the
     # native [N, ky, wx*C] layout and transposing slabs in-kernel:
     # 96 vs 143 ms at DTU stage-4 scale).
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(0, 1),
-        collapsed_slice_dims=(1,),
-        start_index_map=(1, 2),
-        operand_batching_dims=(0,),
-        start_indices_batching_dims=(0,),
-    )
-
     def sample_chunk(coords_c: Array) -> Array:
         """[B, Dc, H, W, 2] -> [B, Dc, C, H*W] through gather + blend."""
         dc = coords_c.shape[1]
@@ -363,10 +416,8 @@ def bilinear_sample_ygrouped(
 
         npix = dc * m
         starts = jnp.stack([ax.reshape(b, npix), ay.reshape(b, npix)], -1)
-        patch = jax.lax.gather(
-            augx, starts, dnums, slice_sizes=(1, 1, ky, wx * c),
-            mode=jax.lax.GatherScatterMode.CLIP,
-        )  # [ky, wx*C, B, N] in img dtype (bf16 patches, f32 blend in-kernel)
+        patch = _gather_patches(augx, starts, ky, wx * c)
+        # [ky, wx*C, B, N] in img dtype (bf16 patches, f32 blend in-kernel)
 
         dxg = x0 - ax[:, :, :, None].astype(jnp.float32)  # [B,Dc,Hg,GY,W]
         dyg = y0 - ay[:, :, :, None].astype(jnp.float32)
@@ -394,6 +445,66 @@ def bilinear_sample_ygrouped(
         coords.reshape(b, d // dc, dc, h, w, 2), 1, 0)  # [nc, B, dc, H, W, 2]
     out = jax.lax.map(sample_chunk, chunks)  # [nc, B, dc, C, N]
     return jnp.moveaxis(out, 0, 1).reshape(b, d, c, h * w)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _ygrouped_stopgrad(img, coords, gy, ky, wx, patch_budget):
+    """Y-grouped sampler for gradient-STOPPED coordinates (the reference
+    default: homo_warping_3D_with_mask computes the grid under torch.no_grad,
+    reference models/warping.py:79): d/dcoords is defined as zero.
+
+    Why a second custom VJP on top of _gather_patches: even with the row
+    scatter-adds, transposing the y-grouped formulation replays the whole
+    grouped pipeline — ky sequential scatter passes over the [B, W, H, wx*C]
+    augmented accumulator plus the blend-kernel VJP, measured 1.70 s vs
+    0.17 s for the per-sample transpose at train stage-4 scale (512x640x8,
+    D=8). Sampling is LINEAR in img, and the per-sample folded-channel path
+    (bilinear_sample) computes the same linear map, so the backward here is
+    jax.linear_transpose of bilinear_sample: ONE native 4C-window
+    scatter-add, no forward recompute (linear_transpose needs only the
+    abstract img, not its value).
+    """
+    return _ygrouped_impl(img, coords, gy, ky, wx, patch_budget)
+
+
+def _ygrouped_stopgrad_fwd(img, coords, gy, ky, wx, patch_budget):
+    out = _ygrouped_stopgrad(img, coords, gy, ky, wx, patch_budget)
+    # residuals: coords + an empty exemplar carrying img's shape/dtype
+    return out, (coords, jnp.zeros((0,) + img.shape, img.dtype))
+
+
+def _ygrouped_stopgrad_bwd(gy, ky, wx, patch_budget, res, ct):
+    coords, ex = res
+    shape, dtype = ex.shape[1:], ex.dtype
+    b, d, h, w = coords.shape[:4]
+    c = ct.shape[2]
+    # ct: [B, D, C, H*W] f32 -> the per-sample layout [B, D, H, W, C]
+    ct_t = jnp.moveaxis(ct, 2, 3).reshape(b, d, h, w, c)
+    f = lambda im: bilinear_sample(im, coords)
+    (gimg,) = jax.linear_transpose(
+        f, jax.ShapeDtypeStruct(shape, dtype))(ct_t.astype(jnp.float32))
+    return gimg.astype(dtype), jnp.zeros_like(coords)
+
+
+_ygrouped_stopgrad.defvjp(_ygrouped_stopgrad_fwd, _ygrouped_stopgrad_bwd)
+
+
+def bilinear_sample_ygrouped(
+    img: Array, coords: Array, gy: int = 8, ky: int = 16, wx: int = 6,
+    patch_budget: int = 1 << 30, coord_grad: bool = False,
+) -> Array:
+    """Production TPU warp sampler (see _ygrouped_impl for the algorithm).
+
+    coord_grad=False (default, matching the reference's no_grad warp grid)
+    routes through a custom VJP whose backward is the per-sample transpose —
+    one native scatter-add instead of replaying the grouped gather pipeline
+    (10x faster backward, see _ygrouped_stopgrad). Pass coord_grad=True for
+    the differentiable-coordinates variant (reference models/warping.py:112
+    diff_homo_warping); its backward is the slower grouped transpose.
+    """
+    if coord_grad:
+        return _ygrouped_impl(img, coords, gy, ky, wx, patch_budget)
+    return _ygrouped_stopgrad(img, coords, gy, ky, wx, patch_budget)
 
 
 def bilinear_sample_xgrouped(
@@ -567,7 +678,9 @@ def homography_warp_ygrouped(
     if stop_coord_grad:
         coords = jax.lax.stop_gradient(coords)
         invalid = jax.lax.stop_gradient(invalid)
-    warped = bilinear_sample_ygrouped(src_feat, coords, gy=gy, ky=ky, wx=wx)
+    warped = bilinear_sample_ygrouped(
+        src_feat, coords, gy=gy, ky=ky, wx=wx,
+        coord_grad=not stop_coord_grad)
     return warped, invalid
 
 

@@ -307,6 +307,33 @@ def test_pallas_ygrouped_grad_matches_plain():
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                rtol=1e-4, atol=1e-4)
 
+    # D-chunked path (lax.map over depth): same gradients
+    from mvsformerplusplus_tpu.ops.grid_sample import bilinear_sample_ygrouped
+    from mvsformerplusplus_tpu.ops.geometry import plane_sweep_coords
+
+    def loss_chunked(x):
+        coords, _ = plane_sweep_coords(src_proj, ref_proj, dv, h, w)
+        warped = bilinear_sample_ygrouped(
+            x, jax.lax.stop_gradient(coords),
+            patch_budget=(h // 8) * w * 16 * 128 * 4)  # forces dc < d
+        return jnp.sum(warped * g)
+
+    gc = jax.grad(loss_chunked)(jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(gc), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
+
+    # coord_grad=True variant (grouped transpose: blend-kernel VJP + row
+    # scatter-adds instead of the per-sample linear_transpose): same grads
+    def loss_diff(x):
+        coords, _ = plane_sweep_coords(src_proj, ref_proj, dv, h, w)
+        warped = bilinear_sample_ygrouped(
+            x, jax.lax.stop_gradient(coords), coord_grad=True)
+        return jnp.sum(warped * g)
+
+    gd = jax.grad(loss_diff)(jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
+
 
 def test_grouped_warp_matches_plain():
     rng = np.random.RandomState(5)
