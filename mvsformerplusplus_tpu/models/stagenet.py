@@ -217,11 +217,21 @@ class StageNet(nn.Module):
 
         src_feats_t = jnp.swapaxes(src_feats, 0, 1)  # [V-1, B, H, W, C]
         src_projs_t = jnp.swapaxes(src_projs, 0, 1)
-        # all views batched (sequential lax.map was measured 2.5x SLOWER
-        # end-to-end: it serializes the gathers and blocks their pipelining);
-        # under shard_views the cv constraints make the view axis parallel
-        # across chips and the final sum a psum
-        corr, entropy = jax.vmap(warp_one)(src_feats_t, src_projs_t)
+        # Views run UNROLLED in one XLA graph (ops still pipeline — only
+        # sequential lax.map serializes the gathers, measured 2.5x slower
+        # end-to-end). vmap would also work for the forward, but its BATCHED
+        # backward scatter (the warp transpose with views folded into the
+        # scatter index space) gets a pathological layout at stage-4 scale:
+        # 110 ns/update vs ~15 unrolled, 2.87 s vs 0.51 s at the DTU train
+        # protocol. Under shard_views the vmapped form is kept: unrolling
+        # would slice the cv-sharded view axis (an all-gather per view).
+        if self.shard_views:
+            corr, entropy = jax.vmap(warp_one)(src_feats_t, src_projs_t)
+        else:
+            pairs = [warp_one(src_feats_t[i], src_projs_t[i])
+                     for i in range(nsrc)]
+            corr = jnp.stack([p[0] for p in pairs])
+            entropy = jnp.stack([p[1] for p in pairs])
 
         dspec = P(None, None, "cv") if self.shard_depth else None
 
