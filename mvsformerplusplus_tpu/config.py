@@ -85,6 +85,7 @@ def build_model(cfg: Config, dtype=jnp.bfloat16, **extra):
             else [args.get("base_ch", 8)] * 4
         ),
         cost_reg_type=_to_tuple(args.get("cost_reg_type", ("Normal",) * 4)),
+        log_var=_to_tuple(args.get("log_var", False)),
         transformer_config=tuple(args.get("transformer_config", [])) or None,
         use_pe3d=args.get("use_pe3d", False),
         dtype=dtype,

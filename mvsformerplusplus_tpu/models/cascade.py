@@ -48,6 +48,9 @@ class CascadeDepth(nn.Module):
     shard_views: bool = False
     shard_depth: bool = False
     warp_mode: str = "auto"
+    # per-stage aleatoric-uncertainty heads (see StageNet.log_var); a bare
+    # bool applies to every stage
+    log_var: Any = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -75,6 +78,9 @@ class CascadeDepth(nn.Module):
                     transformer_config=tc,
                     shard_views=self.shard_views,
                     shard_depth=self.shard_depth,
+                    log_var=(self.log_var[i]
+                             if isinstance(self.log_var, (list, tuple))
+                             else bool(self.log_var)),
                     # 'auto': the x-grouped gather + Pallas blend kernel on
                     # TPU (8x fewer gather indices than 'folded', layouts
                     # pinned in-kernel — the pure-XLA 'xgrouped' variant is

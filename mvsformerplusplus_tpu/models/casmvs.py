@@ -33,6 +33,7 @@ class CasMVSNet(nn.Module):
     remat_stages: bool = True
     shard_views: bool = False
     shard_depth: bool = False
+    log_var: Any = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -62,6 +63,7 @@ class CasMVSNet(nn.Module):
             remat_stages=self.remat_stages,
             shard_views=self.shard_views,
             shard_depth=self.shard_depth,
+            log_var=self.log_var,
             dtype=self.dtype,
             name="cascade",
         )(features, cams, depth_values, tmp, train)

@@ -120,11 +120,13 @@ class FMTWithPathway(nn.Module):
         self.smooth_3 = nn.Conv(bc, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)
 
     def _upsample_add(self, x: Array, y: Array) -> Array:
-        """Bilinear (half-pixel, matching F.interpolate default) + add,
-        fp32 island (reference models/FMT.py:154-162)."""
+        """Bilinear (half-pixel, matching F.interpolate default) + add
+        (reference models/FMT.py:154-162; its fp32 cast is an fp16-overflow
+        guard — bf16 carries fp32's exponent range, so the bf16 path resizes
+        in model dtype with fp32 accumulation, see ops/resize.py)."""
         h, w = y.shape[1], y.shape[2]
-        up = resize2d(x.astype(jnp.float32), h, w, method="linear", align_corners=False)
-        return (up + y.astype(jnp.float32)).astype(self.dtype)
+        up = resize2d(x, h, w, method="linear", align_corners=False)
+        return (up.astype(jnp.float32) + y.astype(jnp.float32)).astype(self.dtype)
 
     def __call__(self, features: Dict[str, Array]) -> Dict[str, Array]:
         """features: {'stage1': [B, V, H, W, C], ... 'stage4'} -> same keys."""

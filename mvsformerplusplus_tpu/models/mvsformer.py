@@ -54,6 +54,7 @@ class DINOv2MVSNet(nn.Module):
     remat_stages: bool = True
     shard_views: bool = False
     shard_depth: bool = False
+    log_var: Any = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -103,6 +104,7 @@ class DINOv2MVSNet(nn.Module):
             remat_stages=self.remat_stages,
             shard_views=self.shard_views,
             shard_depth=self.shard_depth,
+            log_var=self.log_var,
             dtype=self.dtype,
             name="cascade",
         )

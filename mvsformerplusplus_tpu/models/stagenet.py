@@ -106,6 +106,13 @@ class StageNet(nn.Module):
     grouped_warp_th: int = 8
     grouped_warp_kx: int = 16
     xgrouped_gx: int = 8
+    # Aleatoric-uncertainty head (reference models/module.py:454-486 has the
+    # 2-channel prob conv behind CostRegNet3D(log_var=True) and
+    # models/losses.py:63-97 consumes stage "log_var", but no reference
+    # caller ever enables it; here the wire is closed end-to-end: config
+    # arch.args.log_var -> 2-channel head -> outputs["log_var"] =
+    # prob-weighted expectation of the per-hypothesis log-variance).
+    log_var: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -120,7 +127,9 @@ class StageNet(nn.Module):
                 base_channel=self.groups, dtype=self.dtype, **cfg
             )
         elif self.ndepth <= self.model_th:
-            self.cost_reg = CostRegNet3D(base_channels=self.groups, dtype=self.dtype)
+            self.cost_reg = CostRegNet3D(
+                base_channels=self.groups, log_var=self.log_var,
+                dtype=self.dtype)
         else:
             self.cost_reg = CostRegNet(base_channels=self.groups, dtype=self.dtype)
 
@@ -305,10 +314,17 @@ class StageNet(nn.Module):
             else:
                 confidence = jnp.max(prob_volume, axis=1)
 
-        return {
+        out = {
             "depth": depth,
             "prob_volume": prob_volume,
             "photometric_confidence": jax.lax.stop_gradient(confidence),
             "depth_values": depth_values,
             "prob_volume_pre": prob_pre,
         }
+        if self.log_var and reg.shape[-1] == 2:
+            # per-pixel log-variance: expectation of the hypothesis-wise
+            # channel under the depth distribution (losses.py reg_depth_loss
+            # consumes it as a [B, H, W] map)
+            lv_vol = reg[..., 1].astype(jnp.float32)  # [B, D, H, W]
+            out["log_var"] = jnp.sum(prob_volume * lv_vol, axis=1)
+        return out

@@ -102,16 +102,27 @@ def resize2d(x: Array, out_h: int, out_w: int, method: str = "linear",
              scale_w: float = None) -> Array:
     """Resize [..., H, W, C] to [..., out_h, out_w, C] via separable matmuls.
 
-    Runs the interpolation in fp32 (matching the reference's `.to(float32)`
-    before every interpolate) and casts back to the input dtype.
+    fp32 inputs interpolate in fp32 at HIGHEST precision (matching the
+    reference's `.to(float32)` before every interpolate — the parity-test
+    path). bf16 inputs interpolate in bf16 with fp32 accumulation: the
+    weight rounding (<=0.4%/tap) is below the bf16 feature quantization,
+    while fp32-HIGHEST on TPU is a 6-pass bf16x3 matmul decomposition plus
+    two full-tensor converts — measured 65 ms/map of the DTU eval forward
+    in the FPN decoder's x8 upsample chain alone.
     """
     h, w = x.shape[-3], x.shape[-2]
     if h == out_h and w == out_w and scale_h is None and scale_w is None:
         return x
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
     mh = interp_matrix(h, out_h, method, align_corners, scale_h)  # [out_h, h]
     mw = interp_matrix(w, out_w, method, align_corners, scale_w)  # [out_w, w]
+    if dtype == jnp.bfloat16:
+        y = jnp.einsum("Oh,...hwc->...Owc", mh.astype(dtype), x,
+                       preferred_element_type=jnp.float32).astype(dtype)
+        y = jnp.einsum("Pw,...hwc->...hPc", mw.astype(dtype), y,
+                       preferred_element_type=jnp.float32)
+        return y.astype(dtype)
+    xf = x.astype(jnp.float32)
     y = jnp.einsum("Oh,...hwc->...Owc", mh, xf, precision=jax.lax.Precision.HIGHEST)
     y = jnp.einsum("Pw,...hwc->...hPc", mw, y, precision=jax.lax.Precision.HIGHEST)
     return y.astype(dtype)

@@ -90,3 +90,46 @@ def test_hypotheses_narrow_each_stage(model_and_vars):
     assert widths[1] < widths[0]
     assert widths[2] <= widths[1] * 1.05
     assert widths[3] < widths[2]
+
+
+def test_log_var_head_end_to_end():
+    """Aleatoric-uncertainty wire: log_var=True grows the CostRegNet3D prob
+    head to 2 channels, StageNet emits the per-pixel log-variance map, and
+    reg_depth_loss's uncertainty term (reference models/losses.py:63-97,
+    latent there — no reference caller enables it) gets finite gradients."""
+    from mvsformerplusplus_tpu.losses import multi_stage_loss
+
+    rng = np.random.RandomState(3)
+    imgs, cams, dv = make_inputs(rng)
+    b, v, h, w, _ = imgs.shape
+    model = CasMVSNet(ndepths=(8, 4, 4, 4), depth_type=("re",) * 4,
+                      log_var=True, remat_stages=False)
+    variables = jax.jit(lambda r: model.init(r, imgs, cams, dv, train=False))(
+        jax.random.PRNGKey(0))
+    out = jax.jit(lambda vv: model.apply(vv, imgs, cams, dv, train=True,
+                                         mutable=["batch_stats"]))(variables)[0]
+    for i, f in enumerate((8, 4, 2, 1)):
+        lv = out[f"stage{i + 1}"]["log_var"]
+        assert lv.shape == (b, h // f, w // f)
+        assert np.all(np.isfinite(np.asarray(lv)))
+
+    gt = {f"stage{i + 1}": jnp.asarray(
+        rng.uniform(3.0, 7.0, (b, h // f, w // f)).astype(np.float32))
+        for i, f in enumerate((8, 4, 2, 1))}
+    mask = {k: jnp.ones_like(g) for k, g in gt.items()}
+    interval = dv[:, 1] - dv[:, 0]
+
+    def loss_fn(params):
+        o = model.apply({**variables, "params": params}, imgs, cams, dv,
+                        train=True, mutable=["batch_stats"])[0]
+        total, ldict = multi_stage_loss(
+            o, gt, mask, interval, depth_types=("re",) * 4,
+            inverse_depth=False)
+        return total, ldict
+
+    (total, ldict), grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(variables["params"])
+    assert np.isfinite(float(total))
+    assert any("uncert" in k for k in ldict), sorted(ldict)
+    leaves = jax.tree.leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
