@@ -355,3 +355,25 @@ def test_grouped_warp_matches_plain():
     ref, inv = homography_warp(feat, src_proj, ref_proj, dv)
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(inv_g), np.asarray(inv))
+
+
+def test_pallas_ygrouped_wide_group():
+    """gy=16/ky=32: double-size row groups (half the gather indices) keep
+    the same exactness envelope |dv/dy| <= (ky-2)/(gy-1) ~ 2 as the default
+    gy=8/ky=16 — must stay bit-compatible with the per-sample sampler."""
+    rng = np.random.RandomState(11)
+    b, h, w, c, d = 1, 32, 48, 8, 4
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.1, tx=0.35)
+    ref_proj = compose(ref_intr, ref_ext)[None]
+    src_proj = compose(src_intr, src_ext)[None]
+    dv = np.linspace(2.5, 5.5, d, dtype=np.float32)[None].repeat(b, 0)
+
+    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_ygrouped
+
+    got, _ = homography_warp_ygrouped(
+        feat, src_proj, ref_proj, dv, gy=16, ky=32, wx=8)
+    got = np.asarray(got).reshape(b, d, c, h, w).transpose(0, 1, 3, 4, 2)
+    ref, _ = homography_warp(feat, src_proj, ref_proj, dv)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
