@@ -166,6 +166,20 @@ def bench_train(jax, jnp):
     }
 
 
+def _devices_with_retry(jax, attempts=6, wait_s=120):
+    """The axon tunnel to the chip occasionally drops; retry init instead of
+    failing the whole bench run on a transient outage."""
+    for i in range(attempts):
+        try:
+            return jax.devices()
+        except RuntimeError as e:
+            if i == attempts - 1:
+                raise
+            print(f"backend init failed ({e}); retry {i + 1}/{attempts} "
+                  f"in {wait_s}s", file=sys.stderr, flush=True)
+            time.sleep(wait_s)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -174,7 +188,7 @@ def main():
 
     enable_compilation_cache()
 
-    kind = jax.devices()[0].device_kind
+    kind = _devices_with_retry(jax)[0].device_kind
     peak = PEAK_FLOPS.get(kind, 197e12)
 
     ev = bench_eval(jax, jnp)

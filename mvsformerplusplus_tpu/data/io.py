@@ -62,9 +62,15 @@ def read_cam_file(filename, interval_scale: float = 1.0):
     depth_min = float(fields[0])
     depth_interval = float(fields[1]) * interval_scale
     extra: Dict[str, float] = {}
-    if len(fields) >= 4:
+    if len(fields) >= 3:
+        # 3-field cams carry an explicit hypothesis count; the reference
+        # derives the range from it (general_eval.py:99-102). 4-field cams
+        # also carry an explicit depth_max (blended_dataset_ms.py:152-157);
+        # for 3-field ones it is synthesized from the RAW interval.
         extra["depth_num"] = float(fields[2])
-        extra["depth_max"] = float(fields[3])
+        extra["depth_max"] = (
+            float(fields[3]) if len(fields) >= 4
+            else depth_min + int(float(fields[2])) * float(fields[1]))
     return intrinsics, extrinsics, depth_min, depth_interval, extra
 
 

@@ -52,7 +52,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     """One (batch·head, q-block) program; grid dim 2 iterates k/v blocks.
 
     q_ref: [bn, d], k_ref/v_ref: [bm, d] (current k/v block), o_ref: [bn, d],
-    lse_ref: [bn, 128] (per-row logsumexp broadcast over lanes).
+    lse_ref: [bn, 128] (per-row logsumexp broadcast over lanes) — or None on
+    the inference-only path (no backward -> the [BH, N, 128] fp32 lse write
+    would be pure wasted HBM traffic; pallas outputs can't be DCE'd by XLA).
     seq_m: true (unpadded) key-sequence length; logits for padded key rows are
     masked to -inf so they take no probability mass.
     """
@@ -102,7 +104,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     @pl.when(kb == pl.num_programs(2) - 1)
     def _finish():
         o_ref[0] = (acc_scratch[:] / l_scratch[:, :1]).astype(o_ref.dtype)
-        lse_ref[0] = m_scratch[:] + jnp.log(l_scratch[:])
+        if lse_ref is not None:
+            lse_ref[0] = m_scratch[:] + jnp.log(l_scratch[:])
+
+
+def _fwd_kernel_nolse(q_ref, k_ref, v_ref, o_ref,
+                      m_scratch, l_scratch, acc_scratch, *, bm: int,
+                      seq_m: int):
+    _fwd_kernel(q_ref, k_ref, v_ref, o_ref, None,
+                m_scratch, l_scratch, acc_scratch, bm=bm, seq_m=seq_m)
 
 
 def _pad_to(x: Array, size: int, axis: int) -> Array:
@@ -118,10 +128,12 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _flash_fwd(qs: Array, k: Array, v: Array, bn: int, bm: int):
+def _flash_fwd(qs: Array, k: Array, v: Array, bn: int, bm: int,
+               need_lse: bool = True):
     """qs: [BH, N, D] PRE-SCALED queries, k/v: [BH, M, D].
 
-    Returns (out [BH, N, D], lse [BH, N_pad, 128] fp32).
+    Returns (out [BH, N, D], lse [BH, N_pad, 128] fp32) — lse is None when
+    need_lse=False (the inference path skips its HBM write entirely).
     """
     bh, n, d = qs.shape
     m = k.shape[1]
@@ -134,22 +146,21 @@ def _flash_fwd(qs: Array, k: Array, v: Array, bn: int, bm: int):
     vp = _pad_to(_pad_to(v, m_pad, 1), d_pad, 2)
 
     grid = (bh, n_pad // bn, m_pad // bm)
-    out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, bm=bm, seq_m=m),
+    out_spec = pl.BlockSpec((1, bn, d_pad), lambda b, i, j: (b, i, 0))
+    out_shape = jax.ShapeDtypeStruct((bh, n_pad, d_pad), qs.dtype)
+    lse_spec = pl.BlockSpec((1, bn, 128), lambda b, i, j: (b, i, 0))
+    lse_shape = jax.ShapeDtypeStruct((bh, n_pad, 128), jnp.float32)
+    result = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel if need_lse else _fwd_kernel_nolse, bm=bm, seq_m=m),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bn, d_pad), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bm, d_pad), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bm, d_pad), lambda b, i, j: (b, j, 0)),
         ],
-        out_specs=(
-            pl.BlockSpec((1, bn, d_pad), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bn, 128), lambda b, i, j: (b, i, 0)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bh, n_pad, d_pad), qs.dtype),
-            jax.ShapeDtypeStruct((bh, n_pad, 128), jnp.float32),
-        ),
+        out_specs=(out_spec, lse_spec) if need_lse else out_spec,
+        out_shape=(out_shape, lse_shape) if need_lse else out_shape,
         scratch_shapes=[
             pltpu.VMEM((bn, 128), jnp.float32),
             pltpu.VMEM((bn, 128), jnp.float32),
@@ -157,6 +168,7 @@ def _flash_fwd(qs: Array, k: Array, v: Array, bn: int, bm: int):
         ],
         interpret=_interpret(),
     )(qp, kp, vp)
+    out, lse = result if need_lse else (result, None)
     return out[:, :n, :d], lse
 
 
@@ -321,7 +333,9 @@ def _flash_bwd(qs: Array, k: Array, v: Array, out: Array, lse: Array,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _flash3(q: Array, k: Array, v: Array, scale: float,
             bn: int = 512, bm: int = 512) -> Array:
-    out, _ = _flash_fwd(q * scale, k, v, bn, bm)
+    # primal (runs only when NOT differentiated — AD uses _flash3_fwd):
+    # skip the logsumexp output entirely
+    out, _ = _flash_fwd(q * scale, k, v, bn, bm, need_lse=False)
     return out
 
 

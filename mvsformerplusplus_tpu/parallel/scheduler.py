@@ -56,19 +56,39 @@ class WorkQueue:
         except FileExistsError:
             if self.reclaim_stale_s is None:
                 return False
-            # crashed-worker recovery: a claim older than the threshold with
-            # no .done is presumed dead; steal it by re-writing ours
+            # crashed-worker recovery: a claim whose mtime (refreshed by the
+            # owner's heartbeat()) is older than the threshold with no .done
+            # is presumed dead. The steal must be ATOMIC under contention:
+            # rename the stale claim to a tombstone — exactly one renamer
+            # succeeds (the source vanishes for the rest) — then compete for
+            # the freed slot through the O_EXCL create above. Ownership is
+            # ALWAYS decided by the O_EXCL create, so two stealers can never
+            # both win.
             try:
                 age = time.time() - path.stat().st_mtime
             except FileNotFoundError:
                 return self._try_claim(task)
             if age < self.reclaim_stale_s:
                 return False
-            path.write_text(self.worker)
-            return True
+            tomb = self.root / f"{task}.stale.{self.worker}.{time.time_ns()}"
+            try:
+                os.rename(path, tomb)
+            except FileNotFoundError:
+                pass  # another stealer freed it first; compete anyway
+            return self._try_claim(task)
         with os.fdopen(fd, "w") as f:
             f.write(self.worker)
         return True
+
+    def heartbeat(self, task: str) -> None:
+        """Refresh the claim's liveness stamp. Owners of long-running tasks
+        call this periodically (e.g. once per view) so `reclaim_stale_s` can
+        be set well below a scene's total runtime without healthy tasks
+        getting stolen."""
+        try:
+            os.utime(self._claim_path(task))
+        except FileNotFoundError:
+            pass  # claim was stolen after a missed-heartbeat window
 
     def __iter__(self) -> Iterator[str]:
         for task in self.tasks:

@@ -39,6 +39,12 @@ class CheckpointManager:
 
         interrupted=True marks a preemption save taken MID-epoch: resume
         re-runs that epoch instead of advancing past it."""
+        # A step may already exist at this epoch: an interrupt save followed
+        # by the re-run's end-of-epoch save (which orbax's should_save would
+        # silently skip), or a SECOND preemption in the re-run (where
+        # force=True would raise StepAlreadyExistsError). Replace it.
+        if epoch in self.manager.all_steps():
+            self.manager.delete(epoch)
         self.manager.save(epoch, args=ocp.args.StandardSave(state),
                           force=interrupted)
         self.manager.wait_until_finished()

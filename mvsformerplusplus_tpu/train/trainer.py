@@ -113,12 +113,17 @@ class Trainer:
         if not micro or micro >= batch_size:
             return 1
         # each micro-batch must still split evenly over this process's
-        # data-axis shards; search downward (smaller micro-batches are the
-        # memory-safe direction, like the reference's scale_batch_map)
+        # data-axis shards; a micro-batch can't go below one sample per
+        # shard, so a configured micro smaller than ld clamps UP to ld
+        # (per-device 1 — still the memory-safe direction; falling back to
+        # the full unaccumulated batch would be the unsafe one). Above ld,
+        # search downward for a feasible divisor (smaller micro-batches are
+        # memory-safe, like the reference's scale_batch_map).
         ld = data_extent_per_process(self.mesh) if self.mesh is not None else 1
+        micro = max(micro, ld)
         while micro >= ld and (batch_size % micro != 0 or micro % ld != 0):
             micro -= 1
-        if micro < ld:
+        if micro < ld or micro >= batch_size:
             return 1
         return batch_size // micro
 

@@ -123,20 +123,11 @@ def save_depths(args, cfg):
                     # at least load the pretrained frozen ViT (reference
                     # DINOv2_mvsformer_model.py:46-51)
                     sys.path.insert(0, str(Path(__file__).resolve().parent))
-                    from tools.convert_dinov2 import (
-                        convert_state_dict, load_dino_params, merge_vit_params,
-                        unflatten)
+                    from tools.convert_dinov2 import (load_vit_tree,
+                                                      merge_vit_params)
 
-                    if str(vit_path).endswith(".npz"):
-                        vit_tree = load_dino_params(vit_path)
-                    else:
-                        import torch
-
-                        sd = torch.load(vit_path, map_location="cpu",
-                                        weights_only=False)
-                        vit_tree = unflatten(convert_state_dict(sd))
                     variables = jax.device_put(merge_vit_params(
-                        jax.device_get(variables), vit_tree))
+                        jax.device_get(variables), load_vit_tree(vit_path)))
                     logging.info("loaded pretrained ViT from %s", vit_path)
 
         t0 = time.time()
@@ -176,6 +167,10 @@ def save_depths(args, cfg):
             m = depth_metrics(depth[None], gt[None], (gt > 0)[None])
             metric_sums.append({k: float(v) for k, v in m.items()})
         logging.info("%s view %d done (%.2fs)", scan, ref, times[-1])
+        if queue is not None:
+            # liveness stamp: lets --reclaim_stale sit near the per-VIEW
+            # latency instead of the whole scene's runtime
+            queue.heartbeat(scan)
       done_scans.append(cur_scan)
       if queue is not None:
           queue.mark_done(cur_scan)

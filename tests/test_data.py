@@ -68,6 +68,11 @@ def test_eval_dataset_depth_range_resolution(tmp_path):
     make_scan("plain", 425.0, 2.5)
     make_scan("counted", 425.0, 2.5, 256, 425.0 + 256 * 2.5)
     make_scan("eth", 0.5, 72.5)  # eth3d: field 2 is depth_max
+    # 3-field cams (min interval num, no explicit max): the reference
+    # rescales these too (general_eval.py:99 checks >= 3 fields)
+    make_scan("counted3", 425.0, 2.5)
+    cam3 = tmp_path / "counted3" / "cams" / "00000000_cam.txt"
+    cam3.write_text(cam3.read_text().replace("425.0 2.5", "425.0 2.5 256"))
 
     def read(scan, name, ndepths=192, iscale=1.06):
         ds = EvalDataset(str(tmp_path), [scan], ndepths=ndepths,
@@ -78,6 +83,8 @@ def test_eval_dataset_depth_range_resolution(tmp_path):
     assert dmin == 425.0 and abs(dint - 2.5 * 1.06) < 1e-6
     # depth_num cams: (dmin + 256*2.5 - dmin) / 192 * 1.06
     _, _, dmin, dint = read("counted", "dtu")
+    assert abs(dint - 256 * 2.5 / 192 * 1.06) < 1e-6
+    _, _, dmin, dint = read("counted3", "dtu")
     assert abs(dint - 256 * 2.5 / 192 * 1.06) < 1e-6
     # eth3d: (depth_max - dmin) / ndepths * iscale
     _, _, dmin, dint = read("eth", "eth3d")

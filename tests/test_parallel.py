@@ -123,6 +123,15 @@ def test_trainer_shards_production_loop(tmp_path):
         assert len(p0.sharding.device_set) == 2
         # micro count: B=4, scale_batch_map 64 -> micro size 2 -> 2 micros
         assert trainer._micro_count((h, w), 4) == 2
+        # a configured micro SMALLER than the local shard count clamps UP to
+        # one sample per shard (4 shards here would need micro>=4) — never
+        # silently down to the full unaccumulated batch
+        trainer4 = Trainer(
+            model, Loader(), epochs=1,
+            tx=make_optimizer(total_steps=10, warmup_steps=1),
+            mesh=make_mesh(n_data=4, n_cv=1, devices=jax.devices()[:4]),
+            save_dir=tmp_path, scale_batch_map={str(h): 2}, logging_every=1)
+        assert trainer4._micro_count((h, w), 8) == 2  # micro 2 -> clamp 4
         state = trainer.train(state)
     p0 = jax.tree.leaves(state.params)[0]
     assert len(p0.sharding.device_set) == 2

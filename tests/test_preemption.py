@@ -68,8 +68,17 @@ def test_interrupt_checkpoint_and_resume(tmp_path):
     assert start_epoch == 0
     assert int(restored.step) == 3
 
-    # a normal end-of-epoch save clears the interrupted flag
-    trainer2.ckpt.save(0, restored, monitor_value=1.0)
+    # a second preemption in the re-run epoch must overwrite, not crash
+    trainer2.ckpt.save(0, restored, interrupted=True)
+    assert trainer2.ckpt.was_interrupted()
+
+    # a normal end-of-epoch save clears the interrupted flag AND actually
+    # replaces the mid-epoch step data (orbax should_save would silently
+    # skip an existing step): save a state advanced past the interrupt
+    # point and assert the restore returns it.
+    advanced = restored.replace(step=restored.step + 99)
+    trainer2.ckpt.save(0, advanced, monitor_value=1.0)
     assert not trainer2.ckpt.was_interrupted()
-    _, start_epoch = trainer2.resume(template)
+    restored2, start_epoch = trainer2.resume(template)
     assert start_epoch == 1
+    assert int(restored2.step) == int(restored.step) + 99

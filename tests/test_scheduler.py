@@ -87,3 +87,56 @@ def test_restart_skips_done_and_reclaims_stale(tmp_path):
     q3 = WorkQueue(tmp_path, tasks, worker="w3", reclaim_stale_s=0.01)
     got3 = list(q3)
     assert got3 == [first]
+
+
+def test_concurrent_stale_reclaim_exactly_once(tmp_path):
+    """Two workers racing to steal the same stale claim: the rename-tombstone
+    protocol must hand it to exactly one (ownership is always decided by the
+    O_EXCL create, never by an unguarded overwrite)."""
+    tasks = ["a"]
+    q0 = WorkQueue(tmp_path, tasks, worker="dead")
+    assert next(iter(q0)) == "a"  # claimed, then the worker "crashes"
+    time.sleep(0.05)
+
+    winners = []
+    barrier = threading.Barrier(8)
+
+    def stealer(wid):
+        q = WorkQueue(tmp_path, tasks, worker=f"s{wid}",
+                      reclaim_stale_s=0.01)
+        barrier.wait()
+        winners.extend(list(q))
+
+    threads = [threading.Thread(target=stealer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert winners == ["a"], winners  # exactly one steal across 8 racers
+
+
+def test_heartbeat_prevents_steal(tmp_path):
+    """A long-running but HEALTHY task that heartbeats must not be stolen
+    even when its total runtime exceeds reclaim_stale_s."""
+    tasks = ["a"]
+    q1 = WorkQueue(tmp_path, tasks, worker="owner")
+    assert next(iter(q1)) == "a"
+
+    stolen = []
+
+    def thief():
+        q = WorkQueue(tmp_path, tasks, worker="thief", reclaim_stale_s=0.08)
+        deadline = time.monotonic() + 0.4
+        while time.monotonic() < deadline:
+            stolen.extend(list(q))
+            time.sleep(0.02)
+
+    th = threading.Thread(target=thief)
+    th.start()
+    # owner works for 0.4s (5x the stale threshold), heartbeating
+    for _ in range(20):
+        time.sleep(0.02)
+        q1.heartbeat("a")
+    th.join()
+    assert stolen == [], stolen
+    q1.mark_done("a")

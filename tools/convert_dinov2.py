@@ -73,6 +73,19 @@ def load_dino_params(npz_path) -> dict:
     return unflatten({k: data[k] for k in data.files})
 
 
+def load_vit_tree(path) -> dict:
+    """Pretrained DINOv2 weights -> nested flax tree, whatever the format:
+    the converted flax .npz (this tool's output) or the original torch .pth
+    (converted on the fly). The ONE loader every production call site uses
+    (train.py, test.py, tools/dino_match.py)."""
+    if str(path).endswith(".npz"):
+        return load_dino_params(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    return unflatten(convert_state_dict(sd))
+
+
 def merge_vit_params(variables: dict, vit_tree: dict, prefix: str = "vit") -> dict:
     """Replace variables['params'][prefix] with converted weights (shape-
     checked). Non-strict like the reference loader (utils.py:370-397)."""

@@ -63,18 +63,9 @@ def make_dino_matcher(vit_path=None, long_side: int = 644,
     from mvsformerplusplus_tpu.models.dino import DinoVisionTransformer
 
     if params is None:
-        if str(vit_path).endswith(".npz"):
-            from tools.convert_dinov2 import load_dino_params
+        from tools.convert_dinov2 import load_vit_tree
 
-            params = load_dino_params(vit_path)["params"]
-        else:
-            import torch
-
-            from tools.convert_dinov2 import (convert_state_dict,
-                                              load_dino_params, unflatten)
-
-            sd = torch.load(vit_path, map_location="cpu", weights_only=False)
-            params = unflatten(convert_state_dict(sd))["params"]
+        params = load_vit_tree(vit_path)["params"]
 
     vit = DinoVisionTransformer(dtype=jnp.float32)
 

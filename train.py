@@ -187,16 +187,9 @@ def main():
         # model-construction load, DINOv2_mvsformer_model.py:46-51 via
         # torch_init_model, utils.py:370-397). Accepts the converted flax
         # .npz (tools/convert_dinov2.py) or the original torch .pth.
-        from tools.convert_dinov2 import (convert_state_dict, load_dino_params,
-                                          merge_vit_params, unflatten)
+        from tools.convert_dinov2 import load_vit_tree, merge_vit_params
 
-        if str(vit_path).endswith(".npz"):
-            vit_tree = load_dino_params(vit_path)
-        else:
-            import torch
-
-            sd = torch.load(vit_path, map_location="cpu", weights_only=False)
-            vit_tree = unflatten(convert_state_dict(sd))
+        vit_tree = load_vit_tree(vit_path)
         variables = merge_vit_params(
             {"params": jax.device_get(state.params)}, vit_tree)
         state = state.replace(params=jax.device_put(
