@@ -88,6 +88,7 @@ def build_model(cfg: Config, dtype=jnp.bfloat16, **extra):
         log_var=_to_tuple(args.get("log_var", False)),
         transformer_config=tuple(args.get("transformer_config", [])) or None,
         use_pe3d=args.get("use_pe3d", False),
+        warp_mode=args.get("warp_mode", "auto"),
         dtype=dtype,
     )
     common.update(extra)

@@ -48,6 +48,7 @@ class CascadeDepth(nn.Module):
     shard_views: bool = False
     shard_depth: bool = False
     warp_mode: str = "auto"
+    fold_depth: bool = True
     # per-stage aleatoric-uncertainty heads (see StageNet.log_var); a bare
     # bool applies to every stage
     log_var: Any = False
@@ -88,6 +89,10 @@ class CascadeDepth(nn.Module):
                     # stage-4 accumulator 16x at DTU eval scale); 'folded'
                     # off-TPU where the kernel would run interpreted
                     warp_mode=warp_mode,
+                    fold_depth=self.fold_depth,
+                    # the first sweep spans the full scene range: band-
+                    # sharing warp paths (grouped / fold_depth) stay off
+                    full_range=(i == 0),
                     dtype=self.dtype,
                     name=f"stage{i + 1}",
                 )

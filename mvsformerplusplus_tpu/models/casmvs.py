@@ -34,6 +34,8 @@ class CasMVSNet(nn.Module):
     shard_views: bool = False
     shard_depth: bool = False
     log_var: Any = False
+    warp_mode: str = "auto"
+    fold_depth: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -64,6 +66,8 @@ class CasMVSNet(nn.Module):
             shard_views=self.shard_views,
             shard_depth=self.shard_depth,
             log_var=self.log_var,
+            warp_mode=self.warp_mode,
+            fold_depth=self.fold_depth,
             dtype=self.dtype,
             name="cascade",
         )(features, cams, depth_values, tmp, train)

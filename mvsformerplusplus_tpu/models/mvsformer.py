@@ -55,6 +55,8 @@ class DINOv2MVSNet(nn.Module):
     shard_views: bool = False
     shard_depth: bool = False
     log_var: Any = False
+    warp_mode: str = "auto"
+    fold_depth: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -105,6 +107,8 @@ class DINOv2MVSNet(nn.Module):
             shard_views=self.shard_views,
             shard_depth=self.shard_depth,
             log_var=self.log_var,
+            warp_mode=self.warp_mode,
+            fold_depth=self.fold_depth,
             dtype=self.dtype,
             name="cascade",
         )

@@ -106,6 +106,17 @@ class StageNet(nn.Module):
     grouped_warp_th: int = 8
     grouped_warp_kx: int = 16
     xgrouped_gx: int = 8
+    # depth-folded pallas warp: one (wider) patch per pixel group serves the
+    # WHOLE hypothesis band — only for re-centered fine stages (per-pixel
+    # depth_values, ndepth <= grouped_warp_th) whose band footprint fits the
+    # widened [fold_ky, fold_wx] window. Another D-fold fewer gather indices
+    # on top of the gy grouping (gathers are index-bound on TPU).
+    fold_depth: bool = True
+    fold_ky: int = 24
+    fold_wx: int = 12
+    # set by the cascade for its FIRST stage: hypotheses span the full scene
+    # range there, so band-sharing paths (grouped/fold) are never sound
+    full_range: bool = False
     # Aleatoric-uncertainty head (reference models/module.py:454-486 has the
     # 2-channel prob conv behind CostRegNet3D(log_var=True) and
     # models/losses.py:63-97 consumes stage "log_var", but no reference
@@ -162,7 +173,8 @@ class StageNet(nn.Module):
         # gathers in input dtype and blends in f32 — the fp32 island starts at
         # the blend/correlation, reference models/cost_volume.py:64)
         mode = self.warp_mode
-        if mode == "grouped" and self.ndepth > self.grouped_warp_th:
+        if mode == "grouped" and (self.ndepth > self.grouped_warp_th
+                                  or self.full_range):
             mode = "folded"  # depth-grouping unsound for full-range sweeps
         if mode == "pallas" and (c % 8 != 0 or h % self.xgrouped_gx != 0
                                  or w % 128 != 0 or c > 16):
@@ -185,9 +197,20 @@ class StageNet(nn.Module):
                 # Correlation/entropy run in this layout; the volume is
                 # transposed to conv layout [B, D, H, W, G] once, below.
                 if mode == "pallas":
+                    # fold shares one patch across the depth band: off for
+                    # full-range sweeps (unsound) and under D-sharding (the
+                    # shared anchor min couples the cv-sharded depth axis)
+                    fold = (self.fold_depth
+                            and not self.full_range
+                            and not self.shard_depth
+                            and self.ndepth <= self.grouped_warp_th
+                            and h >= self.fold_ky)
                     warped_t, _ = homography_warp_ygrouped(
                         src_feat_b, src_proj_b, ref_proj, depth_values,
-                        gy=self.xgrouped_gx, ky=self.grouped_warp_kx,
+                        gy=self.xgrouped_gx,
+                        ky=self.fold_ky if fold else self.grouped_warp_kx,
+                        wx=self.fold_wx if fold else 6,
+                        fold_depth=fold,
                     )  # [B, D, C, N]
                 elif mode == "xgrouped":
                     warped_t, _ = homography_warp_xgrouped(

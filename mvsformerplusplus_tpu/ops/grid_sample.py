@@ -336,7 +336,7 @@ _gather_patches.defvjp(_gather_patches_fwd, _gather_patches_bwd)
 
 def _ygrouped_impl(
     img: Array, coords: Array, gy: int = 8, ky: int = 16, wx: int = 6,
-    patch_budget: int = 1 << 30,
+    patch_budget: int = 1 << 30, fold_depth: bool = False,
 ) -> Array:
     """Bilinear sampling where GY consecutive OUTPUT ROWS share one patch
     gather, blended by the layout-pinned Pallas kernel — the production TPU
@@ -360,6 +360,10 @@ def _ygrouped_impl(
         axis is chunked with lax.map so the [B*Dc*Hg*W, ky, wx*C] gather
         output stays under it (stage 4 DTU eval would otherwise peak at
         ~5.4 GB per source view).
+      fold_depth: share ONE (wider) patch across ALL D hypotheses of a
+        pixel group — exact only for re-centered fine-stage bands whose
+        epipolar footprint fits the window (callers widen ky/wx; see
+        blend_ygrouped_dfold). Another D-fold fewer gather indices.
 
     Returns [B, D, C, H*W] fp32 (N-minor).
     """
@@ -369,7 +373,7 @@ def _ygrouped_impl(
     m = hg * w
     assert h % gy == 0, f"H={h} not divisible by gy={gy}"
 
-    from .pallas.warp_blend import blend_ygrouped
+    from .pallas.warp_blend import blend_ygrouped, blend_ygrouped_dfold
 
     # x-major image with a wx-wide x-window folded into channels. The gather
     # slice (1, 1, ky, wx*C) covers the FULL minor dim: XLA's TPU backend
@@ -435,6 +439,48 @@ def _ygrouped_impl(
         out = out.reshape(c, b, dc, h * w)
         return jnp.transpose(out, (1, 2, 0, 3))  # [B, Dc, C, N], N minor
 
+    def sample_fold(coords_c: Array) -> Array:
+        """[B, D, H, W, 2] -> [B, D, C, H*W]: ONE patch per pixel group
+        covering every depth hypothesis (anchor = min corner over D AND the
+        gy rows); the blend kernel revisits the resident patch D times."""
+        cf = coords_c.astype(jnp.float32).reshape(b, d, hg, gy, w, 2)
+        x = cf[..., 0]
+        y = cf[..., 1]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+
+        ax = jnp.clip(jnp.min(jnp.clip(x0, -1, w - 1), axis=(1, 3)), 0, w - wx)
+        ay = jnp.clip(jnp.min(jnp.clip(y0, -1, h - 1), axis=(1, 3)), 0, h - ky)
+        ax = ax.astype(jnp.int32)  # [B, Hg, W]
+        ay = ay.astype(jnp.int32)
+
+        starts = jnp.stack([ax.reshape(b, m), ay.reshape(b, m)], -1)
+        patch = _gather_patches(augx, starts, ky, wx * c)  # [ky, wxC, B, M]
+
+        dxg = x0 - ax[:, None, :, None, :].astype(jnp.float32)
+        dyg = y0 - ay[:, None, :, None, :].astype(jnp.float32)  # [B,D,Hg,GY,W]
+        rows = b * d * hg
+
+        def to_rows(a):  # [B, D, Hg, GY, W] -> [ROWS, GY, W], (b, d, hg)
+            return a.reshape(rows, gy, w)
+
+        out = blend_ygrouped_dfold(
+            patch.reshape(ky, wx * c, b * m),
+            to_rows(dxg), to_rows(dyg), to_rows(fx), to_rows(fy),
+            c, gy, ky, wx, w, d, hg,
+        )  # [C, B*D*H, W]
+        out = out.reshape(c, b, d, h * w)
+        return jnp.transpose(out, (1, 2, 0, 3))  # [B, D, C, N]
+
+    if fold_depth:
+        # patch count is D-independent; at production scales it fits the
+        # budget whole (stage 4 DTU eval: 0.22M patches x 24x96 bf16 cells
+        # ~ 1.0 GB). No depth chunking needed or useful (chunking D would
+        # not shrink the patch).
+        return sample_fold(coords)
+
     bytes_per_d = b * m * ky * max(wx * c, 128) * img.dtype.itemsize
     dc = max(1, min(d, patch_budget // max(1, bytes_per_d)))
     while d % dc:
@@ -447,8 +493,8 @@ def _ygrouped_impl(
     return jnp.moveaxis(out, 0, 1).reshape(b, d, c, h * w)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _ygrouped_stopgrad(img, coords, gy, ky, wx, patch_budget):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _ygrouped_stopgrad(img, coords, gy, ky, wx, patch_budget, fold_depth):
     """Y-grouped sampler for gradient-STOPPED coordinates (the reference
     default: homo_warping_3D_with_mask computes the grid under torch.no_grad,
     reference models/warping.py:79): d/dcoords is defined as zero.
@@ -464,16 +510,16 @@ def _ygrouped_stopgrad(img, coords, gy, ky, wx, patch_budget):
     scatter-add, no forward recompute (linear_transpose needs only the
     abstract img, not its value).
     """
-    return _ygrouped_impl(img, coords, gy, ky, wx, patch_budget)
+    return _ygrouped_impl(img, coords, gy, ky, wx, patch_budget, fold_depth)
 
 
-def _ygrouped_stopgrad_fwd(img, coords, gy, ky, wx, patch_budget):
-    out = _ygrouped_stopgrad(img, coords, gy, ky, wx, patch_budget)
+def _ygrouped_stopgrad_fwd(img, coords, gy, ky, wx, patch_budget, fold_depth):
+    out = _ygrouped_stopgrad(img, coords, gy, ky, wx, patch_budget, fold_depth)
     # residuals: coords + an empty exemplar carrying img's shape/dtype
     return out, (coords, jnp.zeros((0,) + img.shape, img.dtype))
 
 
-def _ygrouped_stopgrad_bwd(gy, ky, wx, patch_budget, res, ct):
+def _ygrouped_stopgrad_bwd(gy, ky, wx, patch_budget, fold_depth, res, ct):
     coords, ex = res
     shape, dtype = ex.shape[1:], ex.dtype
     b, d, h, w = coords.shape[:4]
@@ -492,6 +538,7 @@ _ygrouped_stopgrad.defvjp(_ygrouped_stopgrad_fwd, _ygrouped_stopgrad_bwd)
 def bilinear_sample_ygrouped(
     img: Array, coords: Array, gy: int = 8, ky: int = 16, wx: int = 6,
     patch_budget: int = 1 << 30, coord_grad: bool = False,
+    fold_depth: bool = False,
 ) -> Array:
     """Production TPU warp sampler (see _ygrouped_impl for the algorithm).
 
@@ -501,10 +548,15 @@ def bilinear_sample_ygrouped(
     (10x faster backward, see _ygrouped_stopgrad). Pass coord_grad=True for
     the differentiable-coordinates variant (reference models/warping.py:112
     diff_homo_warping); its backward is the slower grouped transpose.
+
+    fold_depth=True shares one (wider: callers raise ky/wx) patch across all
+    D hypotheses of each pixel group — fine-stage bands only.
     """
     if coord_grad:
-        return _ygrouped_impl(img, coords, gy, ky, wx, patch_budget)
-    return _ygrouped_stopgrad(img, coords, gy, ky, wx, patch_budget)
+        return _ygrouped_impl(img, coords, gy, ky, wx, patch_budget,
+                              fold_depth)
+    return _ygrouped_stopgrad(img, coords, gy, ky, wx, patch_budget,
+                              fold_depth)
 
 
 def bilinear_sample_xgrouped(
@@ -666,10 +718,13 @@ def homography_warp_ygrouped(
     ky: int = 16,
     wx: int = 6,
     stop_coord_grad: bool = True,
+    fold_depth: bool = False,
 ):
     """Plane-sweep warp with one patch gather per gy consecutive output ROWS,
     blended by the Pallas kernel (see bilinear_sample_ygrouped) — the
-    production TPU warp. Exact for every cascade stage.
+    production TPU warp. Exact for every cascade stage (fold_depth=True
+    additionally shares the patch across the depth band: fine stages only;
+    callers widen ky/wx to cover the band's epipolar footprint).
 
     Returns warped [B, D, C, H*W] fp32 (N-minor) and the invalid mask.
     """
@@ -680,7 +735,7 @@ def homography_warp_ygrouped(
         invalid = jax.lax.stop_gradient(invalid)
     warped = bilinear_sample_ygrouped(
         src_feat, coords, gy=gy, ky=ky, wx=wx,
-        coord_grad=not stop_coord_grad)
+        coord_grad=not stop_coord_grad, fold_depth=fold_depth)
     return warped, invalid
 
 

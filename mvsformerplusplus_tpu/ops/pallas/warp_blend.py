@@ -150,6 +150,64 @@ def _blend_fwd_impl(patch, dx, dy, fx, fy, c, gy, ky, wx, w):
     return out
 
 
+def blend_ygrouped_dfold(patch: Array, dx: Array, dy: Array, fx: Array,
+                         fy: Array, c: int, gy: int, ky: int, wx: int,
+                         w: int, d: int, hg: int) -> Array:
+    """Depth-FOLDED y-grouped blend: one gathered patch per (row-group, x)
+    serves gy consecutive output rows x ALL D depth hypotheses.
+
+    Fine cascade stages' hypothesis bands are re-centered and narrow
+    (ops/sampling.py schedule_inverse_range), so the epipolar footprint of
+    the whole band fits a modestly wider window (ky~24, wx~12 vs 16x6):
+    gather index count drops by another factor of D on top of the gy
+    grouping (stage 4 DTU eval: 0.88M -> 0.22M per source view; gathers are
+    index-bound) and the patch is fetched once per group instead of once
+    per (group, depth).
+
+    Args:
+      patch: [ky, wx*C, B*Hg*W] — ONE patch per pixel-group, shared by all
+        D depths (cell-major, huge minor dim; see blend_ygrouped).
+      dx/dy/fx/fy: [B*D*Hg, GY, W] f32, rows ordered (b, d, hg) — offsets
+        are relative to the SHARED per-group anchor.
+      d: depth hypotheses sharing each patch; hg: row-groups per image.
+
+    Returns [C, B*D*H, W] f32, natural (b, d, h) row order.
+
+    Grid (B*Hg, W/PBX, D): the depth axis iterates INNERMOST, so the patch
+    block's index is unchanged across consecutive steps and Pallas keeps it
+    resident in VMEM — D blends per patch fetch. Same kernel body as the
+    unfolded path (the blend math is anchor-relative either way). Forward
+    only: the production warp's backward goes through the per-sample
+    transpose (grid_sample._ygrouped_stopgrad), never through this kernel.
+    """
+    p = patch.shape[-1]
+    assert patch.shape[:2] == (ky, wx * c), patch.shape
+    assert p % w == 0
+    b_hg = p // w                     # B * Hg
+    rows_w = dx.shape[0]              # B * D * Hg
+    assert rows_w == b_hg * d, (rows_w, b_hg, d)
+    pbx = _pbx_for(w)
+    nj = w // pbx
+
+    def row_of(i, dd):
+        # weight/output row for (b, d, hg): i = b*Hg + hg
+        return (i // hg) * (d * hg) + dd * hg + (i % hg)
+
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, c=c, ky=ky, wx=wx),
+        grid=(b_hg, nj, d),
+        in_specs=[
+            pl.BlockSpec((ky, wx * c, pbx),
+                         lambda i, j, dd: (0, 0, i * nj + j)),
+        ] + [pl.BlockSpec((1, gy, pbx),
+                          lambda i, j, dd: (row_of(i, dd), 0, j))] * 4,
+        out_specs=pl.BlockSpec((c, gy, pbx),
+                               lambda i, j, dd: (0, row_of(i, dd), j)),
+        out_shape=jax.ShapeDtypeStruct((c, rows_w * gy, w), jnp.float32),
+        interpret=_interpret(),
+    )(patch, dx, dy, fx, fy)
+
+
 def _blend_fwd(patch, dx, dy, fx, fy, c, gy, ky, wx, w):
     # residuals must be JAX types: carry patch's dtype via an empty exemplar
     return _blend_fwd_impl(patch, dx, dy, fx, fy, c, gy, ky, wx, w), (

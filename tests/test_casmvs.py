@@ -133,3 +133,58 @@ def test_log_var_head_end_to_end():
     assert any("uncert" in k for k in ldict), sorted(ldict)
     leaves = jax.tree.leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+
+
+def test_warp_mode_pallas_matches_folded():
+    """Model-level equality of the production TPU warp path (y-grouped
+    gather + Pallas blend, depth-FOLDED on the re-centered fine stages)
+    against the exact reference-semantics folded gather. At w=256 the
+    kernel gates activate for stages 3-4 (W%128, C<=16); stage 1 stays
+    folded (full_range).
+
+    fold=False must match everywhere (exactness envelope == the per-depth
+    path). fold=True shares one patch across the depth band, whose
+    footprint must fit [fold_ky, fold_wx]: true for DTU-protocol geometry
+    (measured ZERO additional window escapes vs the unfolded path at the
+    bench cams — the ~0.1% escapes are the same epipolar-degenerate pixels
+    both paths zero), so the fold case uses DTU-like mild cams while the
+    aggressive default cams (79 px of disparity) exercise fold=False."""
+    rng = np.random.RandomState(21)
+    kw = dict(ndepths=(8, 4, 4, 4), remat_stages=False)
+
+    def run(imgs, cams, dv, fold):
+        ref_model = CasMVSNet(warp_mode="folded", **kw)
+        variables = jax.jit(
+            lambda r: ref_model.init(r, imgs, cams, dv, train=False)
+        )(jax.random.PRNGKey(0))
+        ref = jax.jit(
+            lambda v: ref_model.apply(v, imgs, cams, dv, train=False)
+        )(variables)
+        pallas_model = CasMVSNet(warp_mode="pallas", fold_depth=fold, **kw)
+        got = jax.jit(
+            lambda v: pallas_model.apply(v, imgs, cams, dv, train=False)
+        )(variables)
+        np.testing.assert_allclose(
+            np.asarray(got["refined_depth"]),
+            np.asarray(ref["refined_depth"]), rtol=1e-4, atol=1e-4)
+        for s in ("stage3", "stage4"):
+            np.testing.assert_allclose(
+                np.asarray(got[s]["prob_volume"]),
+                np.asarray(ref[s]["prob_volume"]), rtol=1e-4, atol=1e-4)
+
+    imgs, cams, dv = make_inputs(rng, h=64, w=256)
+    run(imgs, cams, dv, fold=False)
+
+    # DTU-like narrow bands: shrink rotations/baselines 5x
+    imgs2, cams2, dv2 = make_inputs(rng, h=64, w=256)
+    cams2 = dict(cams2)
+    for s in range(4):
+        cam = np.asarray(cams2[f"stage{s + 1}"]).copy()
+        for vi in range(cam.shape[1]):
+            ang = 0.02 * vi
+            c, sn = np.cos(ang), np.sin(ang)
+            cam[:, vi, 0, :3, :3] = np.array(
+                [[c, 0, sn], [0, 1, 0], [-sn, 0, c]], np.float32)
+            cam[:, vi, 0, 0, 3] = 0.06 * vi
+        cams2[f"stage{s + 1}"] = jnp.asarray(cam)
+    run(imgs2, cams2, dv2, fold=True)

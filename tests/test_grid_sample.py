@@ -377,3 +377,59 @@ def test_pallas_ygrouped_wide_group():
     got = np.asarray(got).reshape(b, d, c, h, w).transpose(0, 1, 3, 4, 2)
     ref, _ = homography_warp(feat, src_proj, ref_proj, dv)
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_ygrouped_fold_depth_matches_plain():
+    """Depth-folded production path: one [ky=24, wx=12] patch per pixel
+    group serves ALL D fine-stage hypotheses. Exact vs the per-sample
+    sampler on a re-centered narrow band (the only regime it is enabled
+    for), including gradients through the stop-grad custom VJP."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(13)
+    b, h, w, c, d = 1, 32, 48, 8, 4
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.06, tx=0.25)
+    roll = 0.04
+    rz = np.array([
+        [np.cos(roll), -np.sin(roll), 0],
+        [np.sin(roll), np.cos(roll), 0],
+        [0, 0, 1]], dtype=np.float32)
+    src_ext[:3, :3] = rz @ src_ext[:3, :3]
+    ref_proj = compose(ref_intr, ref_ext)[None]
+    src_proj = compose(src_intr, src_ext)[None]
+    # narrow re-centered band: a few px of disparity across the d hypotheses
+    base = np.linspace(3.9, 4.35, d, dtype=np.float32)
+    dv = np.broadcast_to(base[None, :, None, None], (b, d, h, w)).copy()
+    dv = dv * rng.uniform(0.97, 1.03, size=(b, 1, h, w)).astype(np.float32)
+
+    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_ygrouped
+
+    got, _ = homography_warp_ygrouped(
+        feat, src_proj, ref_proj, dv, ky=24, wx=12, fold_depth=True)
+    got = np.asarray(got).reshape(b, d, c, h, w).transpose(0, 1, 3, 4, 2)
+    ref, _ = homography_warp(feat, src_proj, ref_proj, dv)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    # gradients (stop-grad coords): the fold forward shares the per-sample
+    # backward with the unfolded path
+    g = jnp.asarray(rng.randn(b, d, c, h * w).astype(np.float32))
+
+    def loss_fold(x):
+        warped, _ = homography_warp_ygrouped(
+            x, jnp.asarray(src_proj), jnp.asarray(ref_proj), jnp.asarray(dv),
+            ky=24, wx=12, fold_depth=True)
+        return jnp.sum(warped * g)
+
+    def loss_plain(x):
+        warped, _ = homography_warp(
+            x, jnp.asarray(src_proj), jnp.asarray(ref_proj), jnp.asarray(dv))
+        wt = jnp.moveaxis(warped, -1, 2).reshape(b, d, c, h * w)
+        return jnp.sum(wt * g)
+
+    gf = jax.grad(loss_fold)(jnp.asarray(feat))
+    gr = jax.grad(loss_plain)(jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
