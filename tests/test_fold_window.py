@@ -1,0 +1,73 @@
+"""Depth-folded warp window soundness at DTU-protocol geometry.
+
+The fold path (ops/grid_sample.py fold_depth) shares one [fold_ky, fold_wx]
+patch across a pixel group's WHOLE hypothesis band; corners that miss the
+window blend to zero. This pins the guarantee the defaults were chosen by:
+at the DTU eval protocol (bench cams, cascade-scheduled re-centered bands),
+folding introduces NO additional window escapes over the shipped unfolded
+path — the residual ~0.1% escapes are the same epipolar-degenerate pixels
+both paths zero out (see docs/warp_kernel_design.md).
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from mvsformerplusplus_tpu.ops.geometry import (compose_projection,
+                                                plane_sweep_coords)
+from mvsformerplusplus_tpu.ops.sampling import (init_inverse_range,
+                                                schedule_inverse_range)
+
+
+def _escape_fraction(proj_stage, hypo, h, w, gy, ky, wx, fold):
+    """Fraction of in-image corner samples whose corner misses the patch
+    window (anchor = group min corner; fold -> anchor shared across D)."""
+    ref_p = proj_stage[:, 0]
+    out = []
+    d = hypo.shape[1]
+    for vi in range(1, proj_stage.shape[1]):
+        coords, _ = plane_sweep_coords(proj_stage[:, vi], ref_p, hypo, h, w)
+        c = np.asarray(coords).reshape(1, d, h // gy, gy, w, 2)
+        x0 = np.floor(c[..., 0])
+        y0 = np.floor(c[..., 1])
+        axes = (1, 3) if fold else (3,)
+        ax = np.clip(np.min(np.clip(x0, -1, w - 1), axis=axes, keepdims=True),
+                     0, w - wx)
+        ay = np.clip(np.min(np.clip(y0, -1, h - 1), axis=axes, keepdims=True),
+                     0, h - ky)
+        okx = x0 <= ax + wx - 2
+        oky = y0 <= ay + ky - 2
+        inimg = (x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1)
+        out.append(float((inimg & ~(okx & oky)).mean()))
+    return out
+
+
+@pytest.mark.slow
+def test_fold_window_adds_no_escapes_at_dtu_geometry():
+    from bench import make_dtu_eval_batch
+
+    H, W = 1152, 1536
+    _, cams, dvals = make_dtu_eval_batch()
+    dv = jnp.asarray(dvals)
+
+    # emulate the cascade's band scheduling (mid hypothesis as prev depth)
+    hypo = init_inverse_range(dv, 32, H // 8, W // 8)
+    for nd, ratio, sc in ((16, 2.67, 4), (8, 1.5, 2), (4, 1.0, 1)):
+        hypo = schedule_inverse_range(
+            hypo[:, hypo.shape[1] // 2], hypo, nd, ratio, H // sc, W // sc)
+        proj = compose_projection(jnp.asarray(cams[
+            {4: "stage2", 2: "stage3", 1: "stage4"}[sc]]))
+        if nd > 8:
+            continue  # fold only activates for ndepth <= 8
+        base = _escape_fraction(proj, hypo, H // sc, W // sc,
+                                gy=8, ky=16, wx=6, fold=False)
+        fold = _escape_fraction(proj, hypo, H // sc, W // sc,
+                                gy=8, ky=24, wx=12, fold=True)
+        for b, f in zip(base, fold):
+            assert f <= b + 1e-6, (sc, base, fold)
+        assert max(fold) < 0.003, (sc, fold)
