@@ -80,6 +80,51 @@ def save_depths(args, cfg):
     times = []
     metric_sums = []
     done_scans = []
+    pending = None
+
+    def writeback(depth_dev, conf_dev, sample):
+        """Host-side output path for one finished view (runs under the NEXT
+        view's device compute — see the one-deep pipeline below)."""
+        depth = np.asarray(depth_dev[0], np.float32)
+        conf = np.asarray(conf_dev[0], np.float32)
+        dv = np.asarray(sample["depth_values"])
+
+        scan = sample["scan"]
+        ref = sample["ref_view"]
+        out_dir = Path(args.outdir) / scan
+        for sub in ("depth_est", "confidence", "cams", "images"):
+            (out_dir / sub).mkdir(parents=True, exist_ok=True)
+        save_pfm(out_dir / "depth_est" / f"{ref:0>8}.pfm", depth)
+        np.save(out_dir / "confidence" / f"{ref:0>8}.npy",
+                (np.clip(conf, 0, 1) * 255).astype(np.uint8))
+        cam = np.asarray(sample["cams"]["stage4"][0])  # full-res K, E
+        save_cam_file(out_dir / "cams" / f"{ref:0>8}_cam.txt",
+                      cam[1, :3, :3], cam[0],
+                      float(dv[0]), float(dv[1] - dv[0]))
+        if "ref_img" in sample:
+            # standard MVSNet output layout: ref jpg next to depth/conf
+            # (reference test.py:287-295); fusion colors read from here
+            import cv2
+
+            cv2.imwrite(str(out_dir / "images" / f"{ref:0>8}.jpg"),
+                        sample["ref_img"][..., ::-1])
+        if "gt_depth" in sample:
+            import cv2
+
+            from mvsformerplusplus_tpu.train.metrics import depth_metrics
+
+            gt = sample["gt_depth"]
+            if gt.shape != depth.shape:
+                gt = cv2.resize(gt, (depth.shape[1], depth.shape[0]),
+                                interpolation=cv2.INTER_NEAREST)
+            m = depth_metrics(depth[None], gt[None], (gt > 0)[None])
+            metric_sums.append({k: float(v) for k, v in m.items()})
+        logging.info("%s view %d done (%.2fs)", scan, ref, times[-1])
+        if queue is not None:
+            # liveness stamp: lets --reclaim_stale sit near the per-VIEW
+            # latency instead of the whole scene's runtime
+            queue.heartbeat(scan)
+
     for cur_scan, loader in loaders():
       for sample in loader:
         imgs = jnp.asarray(sample["imgs"])[None]
@@ -132,45 +177,19 @@ def save_depths(args, cfg):
 
         t0 = time.time()
         depth_dev, conf_dev = fwd(variables, imgs, cams, dv)
-        depth = np.asarray(depth_dev[0], np.float32)
-        conf = np.asarray(conf_dev[0], np.float32)
+        # one-deep output pipeline: write back the PREVIOUS view while the
+        # device computes this one (jax dispatch is async; the blocking
+        # np.asarray + PFM/jpg/metric host work runs under the current
+        # view's compute instead of serializing with it)
+        if pending is not None:
+            writeback(*pending)
+        pending = (depth_dev, conf_dev, sample)
         times.append(time.time() - t0)
-
-        scan = sample["scan"]
-        ref = sample["ref_view"]
-        out_dir = Path(args.outdir) / scan
-        for sub in ("depth_est", "confidence", "cams", "images"):
-            (out_dir / sub).mkdir(parents=True, exist_ok=True)
-        save_pfm(out_dir / "depth_est" / f"{ref:0>8}.pfm", depth)
-        np.save(out_dir / "confidence" / f"{ref:0>8}.npy",
-                (np.clip(conf, 0, 1) * 255).astype(np.uint8))
-        cam = np.asarray(sample["cams"]["stage4"][0])  # full-res K, E
-        save_cam_file(out_dir / "cams" / f"{ref:0>8}_cam.txt",
-                      cam[1, :3, :3], cam[0],
-                      float(dv[0, 0]), float(dv[0, 1] - dv[0, 0]))
-        if "ref_img" in sample:
-            # standard MVSNet output layout: ref jpg next to depth/conf
-            # (reference test.py:287-295); fusion colors read from here
-            import cv2
-
-            cv2.imwrite(str(out_dir / "images" / f"{ref:0>8}.jpg"),
-                        sample["ref_img"][..., ::-1])
-        if "gt_depth" in sample:
-            import cv2
-
-            from mvsformerplusplus_tpu.train.metrics import depth_metrics
-
-            gt = sample["gt_depth"]
-            if gt.shape != depth.shape:
-                gt = cv2.resize(gt, (depth.shape[1], depth.shape[0]),
-                                interpolation=cv2.INTER_NEAREST)
-            m = depth_metrics(depth[None], gt[None], (gt > 0)[None])
-            metric_sums.append({k: float(v) for k, v in m.items()})
-        logging.info("%s view %d done (%.2fs)", scan, ref, times[-1])
-        if queue is not None:
-            # liveness stamp: lets --reclaim_stale sit near the per-VIEW
-            # latency instead of the whole scene's runtime
-            queue.heartbeat(scan)
+      # flush the scan's last view BEFORE marking it done (work-stealing
+      # peers must only see .done after every output file landed)
+      if pending is not None:
+          writeback(*pending)
+          pending = None
       done_scans.append(cur_scan)
       if queue is not None:
           queue.mark_done(cur_scan)
