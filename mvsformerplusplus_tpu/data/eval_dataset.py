@@ -65,13 +65,15 @@ class EvalDataset:
         return K, E, dmin, dint
 
     def _scale_to_max(self, img, K):
-        """Resize so H <= max_h, W <= max_w with both multiples of 64
-        (reference scale_mvs_input + the /64 rounding, general_eval.py:
-        169-178, 229-242)."""
+        """Resize toward (max_h, max_w). The reference's scale_mvs_input
+        (general_eval.py:120-131, called unconditionally at :188) stretches
+        every image to EXACTLY max_h x max_w — that is fix_res here. The
+        default path keeps aspect (scale = min of the two ratios, up OR
+        down, matching the reference's resize-to-max intent) and rounds to
+        /64 so the cascade's stride-8 U-Nets divide evenly."""
         import cv2
 
         h, w = img.shape[:2]
-        scale = min(self.max_h / h, self.max_w / w, 1.0) if self.fix_res else 1.0
         if self.fix_res:
             new_h, new_w = self.max_h, self.max_w
         else:

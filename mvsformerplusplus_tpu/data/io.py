@@ -118,8 +118,11 @@ def read_image(filename) -> np.ndarray:
     """Image file -> float32 [H, W, 3] in [0, 1]."""
     from PIL import Image
 
-    img = Image.open(filename)
-    return np.asarray(img, np.float32)[..., :3] / 255.0
+    # convert('RGB') like the reference (general_eval.py:113): grayscale /
+    # palette / RGBA inputs all land as [H, W, 3] (a bare [..., :3] on a 2-D
+    # grayscale array would slice the WIDTH axis)
+    img = Image.open(filename).convert("RGB")
+    return np.asarray(img, np.float32) / 255.0
 
 
 def build_camera_stack(intrinsics: np.ndarray, extrinsics: np.ndarray) -> np.ndarray:

@@ -69,18 +69,9 @@ class TrainLoader:
         return n // (self.batch_size * self.world)
 
     def epoch(self, epoch: int) -> Iterator[Tuple[dict, Tuple[int, int]]]:
-        if self.order_fn is not None:
-            order = np.asarray(self.order_fn(epoch))
-            gbs = self.batch_size * self.world
-            rng = np.random.RandomState(self.schedule.seed * 10007 + epoch)
-            scale_idx = rng.randint(0, len(self.schedule.scales),
-                                    size=len(order) // gbs)
-            batches = [
-                (order[i * gbs:(i + 1) * gbs], self.schedule.scales[scale_idx[i]])
-                for i in range(len(order) // gbs)
-            ]
-        else:
-            batches = self.schedule.epoch(epoch)
+        batches = self.schedule.epoch(
+            epoch,
+            order=self.order_fn(epoch) if self.order_fn is not None else None)
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         try:
             # rank-strided global batches; this rank loads its slice of each

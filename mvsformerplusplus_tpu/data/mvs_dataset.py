@@ -115,9 +115,17 @@ class ShapeBucketSchedule:
         self.batch_size = batch_size
         self.seed = seed
 
-    def epoch(self, epoch: int):
+    def epoch(self, epoch: int, order=None):
+        """order (optional): externally supplied sample order for this epoch
+        (e.g. BalancedSchedule for multi-dataset training); the per-batch
+        scale draw stays identical either way so every host compiles the
+        same shape bucket."""
         rng = np.random.RandomState(self.seed * 10007 + epoch)
-        order = rng.permutation(self.n_samples)
+        if order is None:
+            order = rng.permutation(self.n_samples)
+        else:
+            order = np.asarray(order)
+            rng.permutation(self.n_samples)  # keep the scale-draw stream aligned
         n_batches = len(order) // self.batch_size
         scale_idx = rng.randint(0, len(self.scales), size=n_batches)
         batches = []
@@ -190,7 +198,6 @@ class MVSTrainDataset:
 
         imgs, cams = [], []
         depth_ms = mask_ms = depth_values = None
-        offset_y = offset_x = None
         for i, vid in enumerate(view_ids):
             img, depth, mask, K, E, dmin, dint = self.load_view(meta, vid, want_depth=(i == 0))
             img, depth, K, mask = pre_resize(img, depth, K, mask, resize_scale)
@@ -206,7 +213,6 @@ class MVSTrainDataset:
                     m_s1 = stage_pyramid(m_)["stage1"] if m_ is not None else None
                     if m_s1 is None or np.any(m_s1 > 0) or not self.random_crop:
                         break
-                offset_y, offset_x = oy, ox
                 img, depth, K, mask = crop(img, depth, K, mask, crop_h, crop_w, oy, ox)
                 depth_ms = stage_pyramid(depth) if depth is not None else None
                 mask_ms = stage_pyramid(mask) if mask is not None else None

@@ -141,9 +141,15 @@ def make_accum_train_step(model, tx, n_micro: int,
 
 
 def make_eval_step(model, tmp: Sequence[float] = (5.0, 5.0, 5.0, 1.0),
-                   thresholds: Sequence[float] = (2.0, 4.0, 8.0, 14.0, 20.0)) -> Callable:
+                   thresholds: Sequence[float] = (2.0, 4.0, 8.0, 14.0, 20.0),
+                   interval_norm: str = "dtu") -> Callable:
     """Returns eval(state, batch) -> metrics dict (validation metric set,
-    reference trainer/mvsformer_trainer.py:256-354)."""
+    reference trainer/mvsformer_trainer.py:256-354).
+
+    interval_norm scales the nominal mm thresholds per sample by the depth
+    interval (reference :293-314): 'blended' uses di*N (scene scale is
+    arbitrary there), 'dtu' uses di/2.65*N (== N mm at the standard DTU
+    2.5*1.06 interval, and interval-proportional for any other)."""
 
     def evaluate(state: TrainState, batch):
         outputs = model.apply(
@@ -151,9 +157,12 @@ def make_eval_step(model, tmp: Sequence[float] = (5.0, 5.0, 5.0, 1.0),
             batch["depth_values"], tmp=tuple(tmp), train=False,
         )
         key = f"stage{len(tmp)}"
+        dv = batch["depth_values"]
+        di = (dv[:, 1] - dv[:, 0]).astype(jnp.float32)  # [B]
+        scale = di if interval_norm == "blended" else di / 2.65
         m = depth_metrics(
             outputs["refined_depth"], batch["depth_gt"][key],
-            batch["mask"][key] > 0.5, thresholds,
+            batch["mask"][key] > 0.5, thresholds, scale=scale,
         )
         m["depth"] = outputs["refined_depth"]
         m["confidence"] = outputs["photometric_confidence"]

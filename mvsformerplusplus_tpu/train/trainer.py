@@ -61,7 +61,8 @@ class Trainer:
                  scale_batch_map: Optional[Dict[str, int]] = None,
                  monitor: str = "min mean_error", early_stop: int = 10,
                  logging_every: int = 100, config: Optional[dict] = None,
-                 mesh=None, use_tensorboard: bool = False):
+                 mesh=None, use_tensorboard: bool = False,
+                 interval_norm: str = "dtu"):
         self.model = model
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -76,11 +77,13 @@ class Trainer:
         self.config = config
         self.mesh = mesh
         self.save_dir = Path(save_dir)
-        self.ckpt = CheckpointManager(self.save_dir / "checkpoints")
+        self.ckpt = CheckpointManager(self.save_dir / "checkpoints",
+                                      mode=self.monitor_mode)
         self.writer = ScalarWriter(self.save_dir, use_tensorboard)
         self._plain_step = None
         self._accum_steps: Dict[int, Any] = {}
         self._eval_fn = None
+        self.interval_norm = interval_norm
         self.global_step = 0
 
     # -- compiled steps (cached per bucket automatically by jax.jit) --------
@@ -134,7 +137,8 @@ class Trainer:
 
     def _eval_step(self):
         if self._eval_fn is None:
-            self._eval_fn = jax.jit(make_eval_step(self.model))
+            self._eval_fn = jax.jit(make_eval_step(
+                self.model, interval_norm=self.interval_norm))
         return self._eval_fn
 
     def init_state(self, sample_batch) -> TrainState:
@@ -153,6 +157,9 @@ class Trainer:
     def resume(self, state: TrainState) -> tuple:
         try:
             state, epoch = self.ckpt.restore(state)
+            # continue the scalar-log step series instead of re-emitting
+            # from 0 (duplicate step keys corrupt curves across restarts)
+            self.global_step = int(state.step)
             if self.ckpt.was_interrupted():
                 # preemption save taken mid-epoch: re-run that epoch
                 log.info("resumed from interrupt checkpoint (epoch %d)", epoch)

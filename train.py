@@ -169,6 +169,12 @@ def main():
         logging_every=cfg["trainer"].get("logging_every", 100),
         mesh=mesh,
         use_tensorboard=cfg["trainer"].get("tensorboard", False),
+        # BlendedMVS scenes carry arbitrary metric scale: thresNmm validation
+        # metrics scale by the per-sample depth interval there (reference
+        # mvsformer_trainer.py:288-314)
+        interval_norm=("blended"
+                       if cfg["data_loader"][0]["type"] == "BlendedLoader"
+                       else "dtu"),
     )
 
     state = None
