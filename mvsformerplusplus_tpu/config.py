@@ -32,17 +32,31 @@ class Config(dict):
         keys = path.replace(";", ".").split(".")
         node: Any = self
         for k in keys:
-            if not isinstance(node, dict) or k not in node:
+            if isinstance(node, list) and k.lstrip("-").isdigit():
+                i = int(k)
+                if not -len(node) <= i < len(node):
+                    return default
+                node = node[i]
+            elif isinstance(node, dict) and k in node:
+                node = node[k]
+            else:
                 return default
-            node = node[k]
         return node
 
     def set_path(self, path: str, value):
+        """Numeric segments index into lists (reference-style
+        'data_loader;0;args;batch_size=8' overrides)."""
         keys = path.replace(";", ".").split(".")
         node = self
         for k in keys[:-1]:
-            node = node.setdefault(k, {})
-        node[keys[-1]] = value
+            if isinstance(node, list):
+                node = node[int(k)]
+            else:
+                node = node.setdefault(k, {})
+        if isinstance(node, list):
+            node[int(keys[-1])] = value
+        else:
+            node[keys[-1]] = value
 
 
 def load_config(path, overrides: Optional[Dict[str, Any]] = None) -> Config:
@@ -89,6 +103,7 @@ def build_model(cfg: Config, dtype=jnp.bfloat16, **extra):
         transformer_config=tuple(args.get("transformer_config", [])) or None,
         use_pe3d=args.get("use_pe3d", False),
         warp_mode=args.get("warp_mode", "auto"),
+        fold_depth=args.get("fold_depth", True),
         dtype=dtype,
     )
     common.update(extra)

@@ -79,9 +79,16 @@ class CascadeDepth(nn.Module):
                     transformer_config=tc,
                     shard_views=self.shard_views,
                     shard_depth=self.shard_depth,
+                    # bare bool: enable on every stage that SUPPORTS the
+                    # uncertainty head (CostRegNet3D stages, like the
+                    # reference's latent wire); an explicit per-stage list
+                    # is taken literally and StageNet raises on stages that
+                    # can't honor it
                     log_var=(self.log_var[i]
                              if isinstance(self.log_var, (list, tuple))
-                             else bool(self.log_var)),
+                             else bool(self.log_var)
+                             and self.cost_reg_type[i] != "PureTransformerCostReg"
+                             and nd <= 8),
                     # 'auto': the x-grouped gather + Pallas blend kernel on
                     # TPU (8x fewer gather indices than 'folded', layouts
                     # pinned in-kernel — the pure-XLA 'xgrouped' variant is

@@ -128,6 +128,15 @@ class StageNet(nn.Module):
 
     def setup(self):
         self.vis = VisibilityNet(dtype=self.dtype)
+        if self.log_var and not (self.cost_reg_type != "PureTransformerCostReg"
+                                 and self.ndepth <= self.model_th):
+            # only CostRegNet3D carries the 2-channel uncertainty head
+            # (reference models/module.py:454-486); silently dropping the
+            # requested loss term would be worse than refusing
+            raise ValueError(
+                f"log_var=True requires the CostRegNet3D regularizer "
+                f"(cost_reg_type 'Normal' with ndepth <= {self.model_th}); "
+                f"stage has {self.cost_reg_type} ndepth={self.ndepth}")
         if self.cost_reg_type == "PureTransformerCostReg":
             cfg = dict(self.transformer_config or {})
             for k in ("base_channel", "attention_type", "drop", "attn_drop"):

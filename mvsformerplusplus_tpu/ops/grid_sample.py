@@ -275,6 +275,43 @@ def _xgrouped_prep(img: Array, coords: Array, gx: int, kx: int):
     return patch, dx, dy, fx, fy
 
 
+def _group_anchors(x0: Array, y0: Array, h: int, w: int, ky: int, wx: int,
+                   axes) -> tuple:
+    """Per-group patch anchors: min corner over the group `axes`, clamped so
+    the [ky, wx] window stays in-image. Clamping the anchor INPUTS to
+    [-1, size-1] first changes nothing for contributing pixels (corners
+    wholly outside the image have zero weight regardless) but stops a
+    diverged projection (z ~ 0 -> u = +-1e6) from dragging the anchor away
+    from its group-mates."""
+    ax = jnp.clip(jnp.min(jnp.clip(x0, -1, w - 1), axis=axes), 0, w - wx)
+    ay = jnp.clip(jnp.min(jnp.clip(y0, -1, h - 1), axis=axes), 0, h - ky)
+    return ax.astype(jnp.int32), ay.astype(jnp.int32)
+
+
+def fold_escape_fraction(coords, h: int, w: int, gy: int = 8, ky: int = 24,
+                         wx: int = 12, fold: bool = True):
+    """Diagnostic: fraction of IN-IMAGE corner samples whose corner misses
+    the shared patch window (those blend to zero — the out-of-FOV class).
+    coords: [B, D, H, W, 2] pixel units. fold=True anchors over (D, gy),
+    False over gy only (the unfolded production path). Pure numpy; use to
+    validate fold_ky/fold_wx on a new dataset's geometry before enabling
+    fold_depth (tests/test_fold_window.py pins DTU)."""
+    import numpy as np
+
+    d = coords.shape[1]
+    c = np.asarray(coords).reshape(-1, d, h // gy, gy, w, 2)
+    x0 = np.floor(c[..., 0])
+    y0 = np.floor(c[..., 1])
+    axes = (1, 3) if fold else (3,)
+    ax = np.clip(np.min(np.clip(x0, -1, w - 1), axis=axes, keepdims=True),
+                 0, w - wx)
+    ay = np.clip(np.min(np.clip(y0, -1, h - 1), axis=axes, keepdims=True),
+                 0, h - ky)
+    ok = (x0 <= ax + wx - 2) & (y0 <= ay + ky - 2)
+    inimg = (x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1)
+    return float((inimg & ~ok).mean())
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _gather_patches(augx: Array, starts: Array, ky: int, wxc: int) -> Array:
     """Full-minor 2D-slice patch gather with a scatter-safe VJP.
@@ -411,12 +448,8 @@ def _ygrouped_impl(
         fx = x - x0
         fy = y - y0
 
-        # anchors: per-group min corner over the GY axis, clamp-guarded
-        # against diverged projections (see _xgrouped_prep)
-        ax = jnp.clip(jnp.min(jnp.clip(x0, -1, w - 1), axis=3), 0, w - wx)
-        ay = jnp.clip(jnp.min(jnp.clip(y0, -1, h - 1), axis=3), 0, h - ky)
-        ax = ax.astype(jnp.int32)  # [B, Dc, Hg, W]
-        ay = ay.astype(jnp.int32)
+        # anchors: per-group min corner over the GY axis
+        ax, ay = _group_anchors(x0, y0, h, w, ky, wx, axes=3)  # [B,Dc,Hg,W]
 
         npix = dc * m
         starts = jnp.stack([ax.reshape(b, npix), ay.reshape(b, npix)], -1)
@@ -451,10 +484,7 @@ def _ygrouped_impl(
         fx = x - x0
         fy = y - y0
 
-        ax = jnp.clip(jnp.min(jnp.clip(x0, -1, w - 1), axis=(1, 3)), 0, w - wx)
-        ay = jnp.clip(jnp.min(jnp.clip(y0, -1, h - 1), axis=(1, 3)), 0, h - ky)
-        ax = ax.astype(jnp.int32)  # [B, Hg, W]
-        ay = ay.astype(jnp.int32)
+        ax, ay = _group_anchors(x0, y0, h, w, ky, wx, axes=(1, 3))  # [B,Hg,W]
 
         starts = jnp.stack([ax.reshape(b, m), ay.reshape(b, m)], -1)
         patch = _gather_patches(augx, starts, ky, wx * c)  # [ky, wxC, B, M]
@@ -545,16 +575,20 @@ def bilinear_sample_ygrouped(
     coord_grad=False (default, matching the reference's no_grad warp grid)
     routes through a custom VJP whose backward is the per-sample transpose —
     one native scatter-add instead of replaying the grouped gather pipeline
-    (10x faster backward, see _ygrouped_stopgrad). Pass coord_grad=True for
-    the differentiable-coordinates variant (reference models/warping.py:112
-    diff_homo_warping); its backward is the slower grouped transpose.
+    (10x faster backward, see _ygrouped_stopgrad). coord_grad=True is the
+    differentiable-coordinates variant (reference models/warping.py:112
+    diff_homo_warping): it runs the per-sample sampler, whose autodiff
+    gives EXACT d/dcoords — the grouped pipeline cannot (its weights are
+    equality tests against floor'd corners and its blend kernel defines no
+    coordinate cotangent: gradients there would be silently zero).
 
     fold_depth=True shares one (wider: callers raise ky/wx) patch across all
     D hypotheses of each pixel group — fine-stage bands only.
     """
     if coord_grad:
-        return _ygrouped_impl(img, coords, gy, ky, wx, patch_budget,
-                              fold_depth)
+        b, d, h, w = coords.shape[:4]
+        warped = bilinear_sample(img, coords)  # [B, D, H, W, C]
+        return jnp.moveaxis(warped, -1, 2).reshape(b, d, -1, h * w)
     return _ygrouped_stopgrad(img, coords, gy, ky, wx, patch_budget,
                               fold_depth)
 

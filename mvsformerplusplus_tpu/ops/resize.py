@@ -104,7 +104,10 @@ def resize2d(x: Array, out_h: int, out_w: int, method: str = "linear",
 
     fp32 inputs interpolate in fp32 at HIGHEST precision (matching the
     reference's `.to(float32)` before every interpolate — the parity-test
-    path). bf16 inputs interpolate in bf16 with fp32 accumulation: the
+    path, and the one every fp32 PARAMETER interpolation takes, e.g. the
+    DINOv2 pos-embed resize; a call site that needs exactness on bf16 data
+    opts in by casting its input to fp32). bf16 inputs interpolate in bf16
+    with fp32 accumulation: the
     weight rounding (<=0.4%/tap) is below the bf16 feature quantization,
     while fp32-HIGHEST on TPU is a 6-pass bf16x3 matmul decomposition plus
     two full-tensor converts — measured 65 ms/map of the DTU eval forward

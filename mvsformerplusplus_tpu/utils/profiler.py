@@ -39,17 +39,24 @@ class Stopwatch:
         self.times: Dict[str, list] = {}
 
     @contextlib.contextmanager
-    def measure(self, name: str, result=None):
+    def measure(self, name: str):
+        """Wall-clock a block. The block itself must block on its device
+        work (e.g. end with jax.block_until_ready(out)) — a `result=`
+        argument evaluated at context ENTRY could never be the block's
+        output, so none is offered; use `time_fn` for the dispatch-aware
+        form."""
         t0 = time.time()
-        yield
-        if result is not None:
-            jax.block_until_ready(result)
-        self.times.setdefault(name, []).append(time.time() - t0)
+        try:
+            yield
+        finally:
+            self.times.setdefault(name, []).append(time.time() - t0)
 
     def time_fn(self, name: str, fn, *args, iters: int = 5, warmup: int = 1):
+        out = None
         for _ in range(warmup):
             out = fn(*args)
-        jax.block_until_ready(out)
+        if out is not None:
+            jax.block_until_ready(out)
         t0 = time.time()
         for _ in range(iters):
             out = fn(*args)

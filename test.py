@@ -198,8 +198,18 @@ def save_depths(args, cfg):
                      float(np.mean(times[1:] or times)), len(times))
     if metric_sums:
         avg = {k: float(np.mean([m[k] for m in metric_sums])) for k in metric_sums[0]}
-        out_path = Path(args.outdir) / "depth_metric.txt"
+        # multi-worker runs write per-worker files (a shared-name overwrite
+        # would report whichever worker finished last as the full result);
+        # each carries its view count so the files merge by weighted mean
+        if args.world > 1:
+            name = f"depth_metric.rank{args.rank}.txt"
+        elif args.schedule == "queue":
+            name = f"depth_metric.pid{os.getpid()}.txt"
+        else:
+            name = "depth_metric.txt"
+        out_path = Path(args.outdir) / name
         with open(out_path, "w") as f:
+            f.write(f"n_views: {len(metric_sums)}\n")
             for k, v in sorted(avg.items()):
                 f.write(f"{k}: {v:.6f}\n")
         logging.info("depth metrics -> %s: %s", out_path,
@@ -219,11 +229,19 @@ def fuse_scan(args, scan):
     scan_dir = Path(args.outdir) / scan
     pair = read_pair_file(Path(args.testpath) / scan / "pair.txt")
 
+    import functools
+
+    @functools.lru_cache(maxsize=None)
     def load_view(vid):
+        # cached: each view is read once per scan instead of once per pair
+        # it appears in (~fusion_view+1 redundant PFM/npy/cam reads)
         depth = read_pfm(scan_dir / "depth_est" / f"{vid:0>8}.pfm")[0].astype(np.float32)
-        conf = np.load(scan_dir / "confidence" / f"{vid:0>8}.npy").astype(np.float32)
+        conf = np.load(scan_dir / "confidence" / f"{vid:0>8}.npy")
         if conf.dtype == np.uint8 or conf.max() > 1.5:
-            conf = conf / 255.0
+            # dtype test must precede the float cast (uint8 maps with all
+            # values in {0, 1} would otherwise skip the /255)
+            conf = conf.astype(np.float32) / 255.0
+        conf = conf.astype(np.float32)
         K, E, _, _, _ = read_cam_file(scan_dir / "cams" / f"{vid:0>8}_cam.txt")
         return depth, conf, build_camera_stack(K, E)
 

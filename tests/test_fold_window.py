@@ -20,30 +20,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from mvsformerplusplus_tpu.ops.geometry import (compose_projection,
                                                 plane_sweep_coords)
+from mvsformerplusplus_tpu.ops.grid_sample import fold_escape_fraction
 from mvsformerplusplus_tpu.ops.sampling import (init_inverse_range,
                                                 schedule_inverse_range)
 
 
 def _escape_fraction(proj_stage, hypo, h, w, gy, ky, wx, fold):
-    """Fraction of in-image corner samples whose corner misses the patch
-    window (anchor = group min corner; fold -> anchor shared across D)."""
+    """Per-source-view escape fractions via the shipped diagnostic."""
     ref_p = proj_stage[:, 0]
     out = []
-    d = hypo.shape[1]
     for vi in range(1, proj_stage.shape[1]):
         coords, _ = plane_sweep_coords(proj_stage[:, vi], ref_p, hypo, h, w)
-        c = np.asarray(coords).reshape(1, d, h // gy, gy, w, 2)
-        x0 = np.floor(c[..., 0])
-        y0 = np.floor(c[..., 1])
-        axes = (1, 3) if fold else (3,)
-        ax = np.clip(np.min(np.clip(x0, -1, w - 1), axis=axes, keepdims=True),
-                     0, w - wx)
-        ay = np.clip(np.min(np.clip(y0, -1, h - 1), axis=axes, keepdims=True),
-                     0, h - ky)
-        okx = x0 <= ax + wx - 2
-        oky = y0 <= ay + ky - 2
-        inimg = (x0 >= -1) & (x0 <= w - 1) & (y0 >= -1) & (y0 <= h - 1)
-        out.append(float((inimg & ~(okx & oky)).mean()))
+        out.append(fold_escape_fraction(coords, h, w, gy=gy, ky=ky, wx=wx,
+                                        fold=fold))
     return out
 
 

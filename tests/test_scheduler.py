@@ -84,8 +84,12 @@ def test_restart_skips_done_and_reclaims_stale(tmp_path):
 
     # ...but with stale-reclaim enabled the crashed worker's claim is stolen
     time.sleep(0.05)
-    q3 = WorkQueue(tmp_path, tasks, worker="w3", reclaim_stale_s=0.01)
-    got3 = list(q3)
+    q3 = WorkQueue(tmp_path, tasks, worker="w3", reclaim_stale_s=0.01,
+                   poll_s=0.01)
+    got3 = []
+    for t in q3:
+        got3.append(t)
+        q3.mark_done(t)
     assert got3 == [first]
 
 
@@ -103,9 +107,11 @@ def test_concurrent_stale_reclaim_exactly_once(tmp_path):
 
     def stealer(wid):
         q = WorkQueue(tmp_path, tasks, worker=f"s{wid}",
-                      reclaim_stale_s=0.01)
+                      reclaim_stale_s=0.01, poll_s=0.01)
         barrier.wait()
-        winners.extend(list(q))
+        for t in q:
+            winners.append(t)
+            q.mark_done(t)
 
     threads = [threading.Thread(target=stealer, args=(i,)) for i in range(8)]
     for t in threads:
@@ -125,11 +131,11 @@ def test_heartbeat_prevents_steal(tmp_path):
     stolen = []
 
     def thief():
-        q = WorkQueue(tmp_path, tasks, worker="thief", reclaim_stale_s=0.08)
-        deadline = time.monotonic() + 0.4
-        while time.monotonic() < deadline:
-            stolen.extend(list(q))
-            time.sleep(0.02)
+        # reclaim mode polls until the task completes or its claim goes
+        # stale; a heartbeated claim must never be stolen
+        q = WorkQueue(tmp_path, tasks, worker="thief", reclaim_stale_s=0.08,
+                      poll_s=0.01)
+        stolen.extend(list(q))
 
     th = threading.Thread(target=thief)
     th.start()
@@ -137,6 +143,24 @@ def test_heartbeat_prevents_steal(tmp_path):
     for _ in range(20):
         time.sleep(0.02)
         q1.heartbeat("a")
+    q1.mark_done("a")
     th.join()
     assert stolen == [], stolen
-    q1.mark_done("a")
+
+
+def test_late_stale_claim_is_reclaimed(tmp_path):
+    """A claim that goes stale AFTER another worker already passed it must
+    still be picked up: reclaim mode polls until every task is done (a
+    single pass would silently drop the crashed worker's scan)."""
+    tasks = ["a", "b", "c"]
+    q_dead = WorkQueue(tmp_path, tasks, worker="dead")
+    assert next(iter(q_dead)) == "a"  # claimed fresh, then the worker dies
+
+    got = []
+    q = WorkQueue(tmp_path, tasks, worker="w2", reclaim_stale_s=0.3,
+                  poll_s=0.02)
+    for t in q:  # first pass: 'a' is fresh -> b, c; poll -> steal 'a'
+        got.append(t)
+        time.sleep(0.12)
+        q.mark_done(t)
+    assert got == ["b", "c", "a"]

@@ -199,12 +199,18 @@ def convert(dense_folder, max_d=256, interval_scale=1.0, theta0=5.0,
 
     pid_to_xyz = {pid: p.xyz for pid, p in points3d.items()}
 
-    # depth ranges: 1%/99% percentiles of visible point depths
+    # depth ranges: 1%/99% percentiles of visible point depths. COLMAP
+    # models routinely contain registered images whose observations were all
+    # filtered out; those fall back to the scene-wide percentile range
+    # instead of crashing the conversion.
+    all_xyz = np.array(list(pid_to_xyz.values()))
     depth_ranges = {}
     for v in idx_list:
         pids = [p for p in images[v].point3d_ids if p != -1 and p in pid_to_xyz]
-        xyz = np.array([pid_to_xyz[p] for p in pids])
+        xyz = np.array([pid_to_xyz[p] for p in pids]) if pids else all_xyz
         z = (extr[v][:3, :3] @ xyz.T + extr[v][:3, 3:4])[2]
+        if not pids:
+            z = z[z > 0]  # scene points behind this camera can't bound it
         z = np.sort(z)
         depth_min = z[int(len(z) * 0.01)]
         depth_max = z[int(len(z) * 0.99)]

@@ -165,13 +165,15 @@ def convert(scene_dir, out_dir=None, max_d=192, interval_scale=1.06,
             dmin = float(z[int(len(z) * 0.01)])
             dmax = float(z[int(len(z) * 0.99)])
         else:
-            dmin, dmax = 0.1, 10.0  # fallback; refined below from neighbours
+            dmin = dmax = None  # too few points: take the scene median below
         all_depths.append((dmin, dmax))
-    med_min = float(np.median([d[0] for d in all_depths]))
-    med_max = float(np.median([d[1] for d in all_depths]))
+    have = [d for d in all_depths if d[0] is not None]
+    med_min = float(np.median([d[0] for d in have])) if have else 0.1
+    med_max = float(np.median([d[1] for d in have])) if have else 10.0
     for i in range(n):
         dmin, dmax = all_depths[i]
-        if dmax <= dmin or dmax / max(dmin, 1e-9) > 1e3:
+        if (dmin is None or dmax <= dmin
+                or dmax / max(dmin, 1e-9) > 1e3):
             dmin, dmax = med_min, med_max
         dint = (dmax - dmin) / (max_d - 1) / interval_scale
         save_cam_file(out / "cams" / f"{i:0>8}_cam.txt", K, exts[i], dmin, dint,

@@ -100,9 +100,11 @@ def parse_trace(outdir: str, top: int = 40):
     if isinstance(data, bytes):
         data = data.decode()
     # gviz JSON: [{cols: [{id, label}...], rows: [{c: [{v}...]}...]}, ...]
-    # (first table = ALL ops incl. IDLE, second = excluding IDLE)
+    # (first table = ALL ops incl. IDLE, second = excluding IDLE). Use the
+    # IDLE-EXCLUDING table so op percentages attribute real device time
+    # (IDLE gaps in a 1-iteration trace would otherwise dilute every op).
     tables = json.loads(data)
-    tab = tables[0]
+    tab = tables[1] if len(tables) > 1 else tables[0]
     ids = [c["id"] for c in tab["cols"]]
     rows = [
         {ids[i]: (cell or {}).get("v") for i, cell in enumerate(r["c"])}
