@@ -214,7 +214,31 @@ def save_depths(args, cfg):
                 f.write(f"{k}: {v:.6f}\n")
         logging.info("depth metrics -> %s: %s", out_path,
                      {k: round(v, 4) for k, v in avg.items()})
+        if name != "depth_metric.txt":
+            _merge_depth_metrics(Path(args.outdir))
     return done_scans
+
+
+def _merge_depth_metrics(outdir: Path):
+    """Weighted-mean merge of the per-worker depth_metric.*.txt files into
+    depth_metric.txt. Every finishing worker re-merges whatever partials
+    exist, so the last one to finish leaves the complete result."""
+    parts = sorted(outdir.glob("depth_metric.*.txt"))
+    sums: dict = {}
+    n_total = 0
+    for p in parts:
+        kv = dict(line.split(": ") for line in
+                  p.read_text().strip().splitlines())
+        n = int(float(kv.pop("n_views", 1)))
+        n_total += n
+        for k, v in kv.items():
+            sums[k] = sums.get(k, 0.0) + float(v) * n
+    if not n_total:
+        return
+    with open(outdir / "depth_metric.txt", "w") as f:
+        f.write(f"n_views: {n_total}\n")
+        for k in sorted(sums):
+            f.write(f"{k}: {sums[k] / n_total:.6f}\n")
 
 
 def fuse_scan(args, scan):
