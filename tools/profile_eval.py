@@ -147,8 +147,11 @@ def parse_trace(outdir: str, top: int = 40):
 
 
 def run_components():
-    """Time each subsystem at DTU eval scale with its PRODUCTION config
-    (the warp paths exactly as stagenet auto-selects them)."""
+    """Time each stage's build_volume at DTU eval scale across warp
+    variants: 'folded' (exact single-gather baseline), 'pallas' with
+    fold_depth off, and 'pallas' with the depth-folded patch (production
+    default on fine stages) — plus a wide-group (gy=16/ky=32) pallas
+    variant. One invocation = the whole warp ablation."""
     import jax
     import jax.numpy as jnp
     from mvsformerplusplus_tpu.utils.cache import enable_compilation_cache
@@ -165,10 +168,12 @@ def run_components():
         for _ in range(iters):
             out = f(*args)
         jax.block_until_ready(out)
-        print(f"{name:44s} {(time.time()-t0)/iters*1000:8.1f} ms", flush=True)
+        print(f"{name:52s} {(time.time()-t0)/iters*1000:8.1f} ms", flush=True)
 
-    from mvsformerplusplus_tpu.models.stagenet import StageNet
+    import flax.linen as nn
+
     from bench import make_dtu_eval_batch
+    from mvsformerplusplus_tpu.models.stagenet import StageNet
 
     imgs, cams, dv = make_dtu_eval_batch()
     cams = {k: jnp.asarray(v) for k, v in cams.items()}
@@ -176,8 +181,19 @@ def run_components():
     feat_chs = {"stage1": 64, "stage2": 32, "stage3": 16, "stage4": 8}
     ndepths = {"stage1": 32, "stage2": 16, "stage3": 8, "stage4": 4}
     scales = {"stage1": 8, "stage2": 4, "stage3": 2, "stage4": 1}
-    base = dv[0, 0]
     itv = float(dv[0, 1] - dv[0, 0])
+
+    def vol_module(d, mode, fold, gy=8, ky=16):
+        class VolOnly(nn.Module):
+            @nn.compact
+            def __call__(self, f, cam, dvv):
+                return StageNet(
+                    ndepth=d, groups=8, cost_reg_type="Normal",
+                    depth_type="ce", warp_mode=mode, fold_depth=fold,
+                    xgrouped_gx=gy, grouped_warp_kx=ky, dtype=DT,
+                ).build_volume(f, cam, dvv, train=False)
+
+        return VolOnly()
 
     for s in ("stage1", "stage2", "stage3", "stage4"):
         c, d, sc = feat_chs[s], ndepths[s], scales[s]
@@ -192,22 +208,23 @@ def run_components():
                 rng.uniform(500, 800, (B, h, w)).astype(np.float32))
             offs = (jnp.arange(d, dtype=jnp.float32) - d / 2) * (itv * sc)
             dvals = ctr[:, None] + offs[None, :, None, None]
-        # build_volume only (bound method via apply on a wrapper)
-        import flax.linen as nn
 
-        class VolOnly(nn.Module):
-            @nn.compact
-            def __call__(self, f, cam, dvv):
-                return StageNet(
-                    ndepth=d, groups=8, cost_reg_type="Normal",
-                    depth_type="ce", warp_mode="pallas", dtype=DT,
-                ).build_volume(f, cam, dvv, train=False)
-
-        m = VolOnly()
-        vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), feats, cams[s], dvals)
-        bench(f"{s} build_volume (warp+corr+vis, 4 src)",
-              lambda f_, cv_, dv_: m.apply(vars_, f_, cv_, dv_),
-              feats, cams[s], dvals)
+        variants = [("folded", "folded", False, 8, 16),
+                    ("pallas", "pallas", False, 8, 16),
+                    ("pallas+fold", "pallas", True, 8, 16),
+                    ("pallas gy16", "pallas", False, 16, 32)]
+        for label, mode, fold, gy, ky in variants:
+            m = vol_module(d, mode, fold, gy, ky)
+            try:
+                vars_ = jax.jit(m.init)(
+                    jax.random.PRNGKey(0), feats, cams[s], dvals)
+                bench(f"{s} build_volume [{label}]",
+                      lambda f_, cv_, dv_, m=m, v=vars_:
+                      m.apply(v, f_, cv_, dv_),
+                      feats, cams[s], dvals)
+            except Exception as e:  # a gated-off variant: report, continue
+                print(f"{s} build_volume [{label}]: skipped ({e})",
+                      flush=True)
 
     print("DONE", flush=True)
 
