@@ -188,3 +188,25 @@ def test_warp_mode_pallas_matches_folded():
             cam[:, vi, 0, 0, 3] = 0.06 * vi
         cams2[f"stage{s + 1}"] = jnp.asarray(cam)
     run(imgs2, cams2, dv2, fold=True)
+
+
+def test_log_var_gating():
+    """Bare log_var=True auto-applies only to stages whose regularizer
+    carries the uncertainty head (CostRegNet3D: 'Normal', ndepth<=8); an
+    explicit per-stage list naming an unsupported stage raises instead of
+    silently dropping the loss term."""
+    rng = np.random.RandomState(0)
+    imgs, cams, dv = make_inputs(rng)
+    m = CasMVSNet(ndepths=(16, 8, 4, 4), log_var=True, remat_stages=False)
+    v = jax.jit(lambda r: m.init(r, imgs, cams, dv, train=False))(
+        jax.random.PRNGKey(0))
+    out = jax.jit(lambda vv: m.apply(vv, imgs, cams, dv, train=False))(v)
+    assert "log_var" not in out["stage1"]
+    assert "log_var" in out["stage3"] and "log_var" in out["stage4"]
+
+    import pytest as _pytest
+    m2 = CasMVSNet(ndepths=(16, 8, 4, 4), log_var=(True, False, False, False),
+                   remat_stages=False)
+    with _pytest.raises(ValueError, match="CostRegNet3D"):
+        jax.eval_shape(lambda r: m2.init(r, imgs, cams, dv, train=False),
+                       jax.random.PRNGKey(0))
