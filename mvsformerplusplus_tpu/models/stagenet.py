@@ -106,6 +106,7 @@ class StageNet(nn.Module):
     grouped_warp_th: int = 8
     grouped_warp_kx: int = 16
     xgrouped_gx: int = 8
+    pallas_max_c: int = 16
     # depth-folded pallas warp: one (wider) patch per pixel group serves the
     # WHOLE hypothesis band — only for re-centered fine stages (per-pixel
     # depth_values, ndepth <= grouped_warp_th) whose band footprint fits the
@@ -186,14 +187,17 @@ class StageNet(nn.Module):
                                   or self.full_range):
             mode = "folded"  # depth-grouping unsound for full-range sweeps
         if mode == "pallas" and (c % 8 != 0 or h % self.xgrouped_gx != 0
-                                 or w % 128 != 0 or c > 16):
+                                 or w % 128 != 0 or c > self.pallas_max_c):
             # kernel slices cells on f32 sublanes (C%8), groups H rows (H%gy),
             # and blocks the patch's minor P=B*D*Hg*W dim in 128-lane
             # multiples that must not straddle row boundaries (W%128).
-            # C>16: the blend's masked-MAC compute scales with C while the
-            # gather saving is fixed — measured crossover on v5e is between
-            # C=16 (1.25x faster than folded) and C=32 (1.27x slower), so the
-            # coarse stages keep the folded single-gather path
+            # C>pallas_max_c (default 16): the blend's masked-MAC compute
+            # scales with C while the gather saving is fixed — measured
+            # crossover on v5e WITHOUT depth-folding is between C=16 (1.25x
+            # faster than folded) and C=32 (1.27x slower), so the coarse
+            # stages keep the folded single-gather path; fold changes the
+            # economics (16x fewer indices at stage-2 scale), so the knob
+            # exists to re-measure
             mode = "folded"
         grouped = mode in ("grouped", "xgrouped", "pallas")
         sub = c // self.groups

@@ -183,14 +183,15 @@ def run_components():
     scales = {"stage1": 8, "stage2": 4, "stage3": 2, "stage4": 1}
     itv = float(dv[0, 1] - dv[0, 0])
 
-    def vol_module(d, mode, fold, gy=8, ky=16):
+    def vol_module(d, mode, fold, gy=8, ky=16, max_c=16):
         class VolOnly(nn.Module):
             @nn.compact
             def __call__(self, f, cam, dvv):
                 return StageNet(
                     ndepth=d, groups=8, cost_reg_type="Normal",
                     depth_type="ce", warp_mode=mode, fold_depth=fold,
-                    xgrouped_gx=gy, grouped_warp_kx=ky, dtype=DT,
+                    xgrouped_gx=gy, grouped_warp_kx=ky,
+                    pallas_max_c=max_c, dtype=DT,
                 ).build_volume(f, cam, dvv, train=False)
 
         return VolOnly()
@@ -209,12 +210,16 @@ def run_components():
             offs = (jnp.arange(d, dtype=jnp.float32) - d / 2) * (itv * sc)
             dvals = ctr[:, None] + offs[None, :, None, None]
 
-        variants = [("folded", "folded", False, 8, 16),
-                    ("pallas", "pallas", False, 8, 16),
-                    ("pallas+fold", "pallas", True, 8, 16),
-                    ("pallas gy16", "pallas", False, 16, 32)]
-        for label, mode, fold, gy, ky in variants:
-            m = vol_module(d, mode, fold, gy, ky)
+        variants = [("folded", "folded", False, 8, 16, 16),
+                    ("pallas", "pallas", False, 8, 16, 16),
+                    ("pallas+fold", "pallas", True, 8, 16, 16),
+                    ("pallas gy16", "pallas", False, 16, 32, 16)]
+        if s == "stage2":
+            # fold changes the C=32 economics (16x fewer indices); the
+            # pallas_max_c knob forces the gate open for the measurement
+            variants.append(("pallas+fold C32", "pallas", True, 8, 16, 32))
+        for label, mode, fold, gy, ky, max_c in variants:
+            m = vol_module(d, mode, fold, gy, ky, max_c)
             try:
                 vars_ = jax.jit(m.init)(
                     jax.random.PRNGKey(0), feats, cams[s], dvals)
