@@ -433,3 +433,28 @@ def test_pallas_ygrouped_fold_depth_matches_plain():
     gr = jax.grad(loss_plain)(jnp.asarray(feat))
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_ygrouped_fold_wide_group():
+    """gy=16/ky=40 + depth folding: the combined variant (16*D samples per
+    gather index). Exactness bound tightens to (ky-2-band)/(gy-1); ky=40
+    keeps it ~2.4 for narrow bands — must match the per-sample sampler on
+    DTU-like geometry."""
+    rng = np.random.RandomState(17)
+    b, h, w, c, d = 1, 32, 48, 8, 4
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.05, tx=0.2)
+    ref_proj = compose(ref_intr, ref_ext)[None]
+    src_proj = compose(src_intr, src_ext)[None]
+    base = np.linspace(3.9, 4.3, d, dtype=np.float32)
+    dv = np.broadcast_to(base[None, :, None, None], (b, d, h, w)).copy()
+    dv = dv * rng.uniform(0.98, 1.02, size=(b, 1, h, w)).astype(np.float32)
+
+    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_ygrouped
+
+    got, _ = homography_warp_ygrouped(
+        feat, src_proj, ref_proj, dv, gy=16, ky=32, wx=12, fold_depth=True)
+    got = np.asarray(got).reshape(b, d, c, h, w).transpose(0, 1, 3, 4, 2)
+    ref, _ = homography_warp(feat, src_proj, ref_proj, dv)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)

@@ -213,7 +213,8 @@ def run_components():
         variants = [("folded", "folded", False, 8, 16, 16),
                     ("pallas", "pallas", False, 8, 16, 16),
                     ("pallas+fold", "pallas", True, 8, 16, 16),
-                    ("pallas gy16", "pallas", False, 16, 32, 16)]
+                    ("pallas gy16", "pallas", False, 16, 32, 16),
+                    ("pallas gy16+fold", "pallas", True, 16, 32, 16)]
         if s == "stage2":
             # fold changes the C=32 economics (16x fewer indices); the
             # pallas_max_c knob forces the gate open for the measurement
