@@ -9,11 +9,8 @@ onto the flax modules (≡ reference init_model, utils.py:484-493).
 """
 from __future__ import annotations
 
-import copy
 import json
-from functools import reduce
-from pathlib import Path
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 

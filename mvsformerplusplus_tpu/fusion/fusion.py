@@ -18,7 +18,6 @@ cameras are the [2, 4, 4] stacks. All fp32.
 """
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
