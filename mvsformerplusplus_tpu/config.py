@@ -100,7 +100,8 @@ def build_model(cfg: Config, dtype=jnp.bfloat16, **extra):
         transformer_config=tuple(args.get("transformer_config", [])) or None,
         use_pe3d=args.get("use_pe3d", False),
         warp_mode=args.get("warp_mode", "auto"),
-        fold_depth=args.get("fold_depth", True),
+        fold_depth=args.get("fold_depth", "auto"),
+        warp_gy=args.get("warp_gy", "auto"),
         dtype=dtype,
     )
     common.update(extra)

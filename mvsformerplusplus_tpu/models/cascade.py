@@ -48,11 +48,42 @@ class CascadeDepth(nn.Module):
     shard_views: bool = False
     shard_depth: bool = False
     warp_mode: str = "auto"
-    fold_depth: bool = True
+    # Depth-folding and row-group size per stage. "auto" applies the
+    # measured v5e rule (tools/profile_eval.py --components, DTU eval
+    # protocol): folding shares one wider [fold_ky, fold_wx] patch across
+    # the hypothesis band, so its index saving scales with ndepth while the
+    # patch overfetch is fixed — it wins at ndepth==8 (stage3: 138→122 ms
+    # with gy=16) and LOSES at ndepth==4 (stage4: 241→271 ms). Rule:
+    # fold iff re-centered and 8 <= ndepth <= grouped_warp_th; gy=16 under
+    # fold (halves indices again; zero extra window escapes at DTU
+    # geometry, tests/test_fold_window.py), gy=8 otherwise. A bare
+    # bool/int applies to every stage; a sequence is taken literally.
+    fold_depth: Any = "auto"
+    warp_gy: Any = "auto"
     # per-stage aleatoric-uncertainty heads (see StageNet.log_var); a bare
     # bool applies to every stage
     log_var: Any = False
     dtype: Any = jnp.float32
+
+    def _stage_warp_plan(self, i: int, nd: int):
+        """Resolve (fold_depth, gy) for stage i from the auto rule or an
+        explicit override."""
+        if isinstance(self.fold_depth, (list, tuple)):
+            fold = bool(self.fold_depth[i])
+        elif self.fold_depth == "auto":
+            # StageNet only folds re-centered bands with ndepth <= its
+            # grouped_warp_th (8); below ndepth 8 the index saving no
+            # longer covers the wider patch (measured at ndepth=4)
+            fold = i > 0 and nd == 8
+        else:
+            fold = bool(self.fold_depth)
+        if isinstance(self.warp_gy, (list, tuple)):
+            gy = int(self.warp_gy[i])
+        elif self.warp_gy == "auto":
+            gy = 16 if fold else 8
+        else:
+            gy = int(self.warp_gy)
+        return fold, gy
 
     def setup(self):
         stages = []
@@ -96,7 +127,8 @@ class CascadeDepth(nn.Module):
                     # stage-4 accumulator 16x at DTU eval scale); 'folded'
                     # off-TPU where the kernel would run interpreted
                     warp_mode=warp_mode,
-                    fold_depth=self.fold_depth,
+                    fold_depth=self._stage_warp_plan(i, nd)[0],
+                    xgrouped_gx=self._stage_warp_plan(i, nd)[1],
                     # the first sweep spans the full scene range: band-
                     # sharing warp paths (grouped / fold_depth) stay off
                     full_range=(i == 0),

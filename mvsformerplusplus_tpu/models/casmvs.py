@@ -35,7 +35,8 @@ class CasMVSNet(nn.Module):
     shard_depth: bool = False
     log_var: Any = False
     warp_mode: str = "auto"
-    fold_depth: bool = True
+    fold_depth: Any = "auto"
+    warp_gy: Any = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -68,6 +69,7 @@ class CasMVSNet(nn.Module):
             log_var=self.log_var,
             warp_mode=self.warp_mode,
             fold_depth=self.fold_depth,
+            warp_gy=self.warp_gy,
             dtype=self.dtype,
             name="cascade",
         )(features, cams, depth_values, tmp, train)

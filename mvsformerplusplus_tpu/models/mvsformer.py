@@ -56,7 +56,8 @@ class DINOv2MVSNet(nn.Module):
     shard_depth: bool = False
     log_var: Any = False
     warp_mode: str = "auto"
-    fold_depth: bool = True
+    fold_depth: Any = "auto"
+    warp_gy: Any = "auto"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -109,6 +110,7 @@ class DINOv2MVSNet(nn.Module):
             log_var=self.log_var,
             warp_mode=self.warp_mode,
             fold_depth=self.fold_depth,
+            warp_gy=self.warp_gy,
             dtype=self.dtype,
             name="cascade",
         )

@@ -218,10 +218,15 @@ class StageNet(nn.Module):
                             and not self.shard_depth
                             and self.ndepth <= self.grouped_warp_th
                             and h >= self.fold_ky)
+                    # unfolded window must keep |dv/dy| slack >= 2 rows per
+                    # group row: ky >= 2*gy (gy=8 -> ky=16, gy=16 -> ky=32;
+                    # both parity-tested in tests/test_grid_sample.py)
                     warped_t, _ = homography_warp_ygrouped(
                         src_feat_b, src_proj_b, ref_proj, depth_values,
                         gy=self.xgrouped_gx,
-                        ky=self.fold_ky if fold else self.grouped_warp_kx,
+                        ky=(self.fold_ky if fold
+                            else max(self.grouped_warp_kx,
+                                     2 * self.xgrouped_gx)),
                         wx=self.fold_wx if fold else 6,
                         fold_depth=fold,
                     )  # [B, D, C, N]
