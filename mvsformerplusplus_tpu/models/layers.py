@@ -233,13 +233,14 @@ class FPNDecoder(nn.Module):
             h, w = lateral.shape[-3], lateral.shape[-2]
             # The reference casts to fp32 before interpolate
             # (models/module.py:261) as an fp16-overflow guard; bf16 has
-            # fp32's exponent range, so the bf16 path resizes in model dtype
-            # (resize2d dispatches to bf16 matmuls with fp32 accumulation —
-            # the fp32-HIGHEST resize cost 65 ms/map of the eval forward).
+            # fp32's exponent range, so the bf16 path resizes AND adds in
+            # model dtype (resize2d dispatches to bf16 matmuls with fp32
+            # accumulation — the fp32-HIGHEST resize cost 65 ms/map, and an
+            # fp32 add materialized ~14 GB of converts on the full-res
+            # 64-channel intermediate, ~25 ms/map).
             up = resize2d(x, h, w, method="linear", align_corners=True)
             lat = nn.Conv(final_ch, (1, 1), dtype=self.dtype)(lateral)
-            return (up.astype(jnp.float32)
-                    + lat.astype(jnp.float32)).astype(self.dtype)
+            return up.astype(self.dtype) + lat.astype(self.dtype)
 
         intra = up_add(intra, conv21, c2)
         out1 = head(intra, c2, 3)

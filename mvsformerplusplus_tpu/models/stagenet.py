@@ -115,6 +115,11 @@ class StageNet(nn.Module):
     fold_depth: bool = True
     fold_ky: int = 24
     fold_wx: int = 12
+    # cap (bytes) on the unfolded pallas path's materialized patch temp; the
+    # depth axis is lax.map-chunked to stay under it. The map's serialization
+    # + per-iteration stacking costs real time (the stage-4 DTU eval while
+    # loop), so callers with HBM headroom can raise it to run depth whole.
+    warp_patch_budget: int = 1 << 30
     # set by the cascade for its FIRST stage: hypotheses span the full scene
     # range there, so band-sharing paths (grouped/fold) are never sound
     full_range: bool = False
@@ -229,6 +234,7 @@ class StageNet(nn.Module):
                                      2 * self.xgrouped_gx)),
                         wx=self.fold_wx if fold else 6,
                         fold_depth=fold,
+                        patch_budget=self.warp_patch_budget,
                     )  # [B, D, C, N]
                 elif mode == "xgrouped":
                     warped_t, _ = homography_warp_xgrouped(

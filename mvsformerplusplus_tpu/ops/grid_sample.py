@@ -753,6 +753,7 @@ def homography_warp_ygrouped(
     wx: int = 6,
     stop_coord_grad: bool = True,
     fold_depth: bool = False,
+    patch_budget: int = 1 << 30,
 ):
     """Plane-sweep warp with one patch gather per gy consecutive output ROWS,
     blended by the Pallas kernel (see bilinear_sample_ygrouped) — the
@@ -768,7 +769,7 @@ def homography_warp_ygrouped(
         coords = jax.lax.stop_gradient(coords)
         invalid = jax.lax.stop_gradient(invalid)
     warped = bilinear_sample_ygrouped(
-        src_feat, coords, gy=gy, ky=ky, wx=wx,
+        src_feat, coords, gy=gy, ky=ky, wx=wx, patch_budget=patch_budget,
         coord_grad=not stop_coord_grad, fold_depth=fold_depth)
     return warped, invalid
 

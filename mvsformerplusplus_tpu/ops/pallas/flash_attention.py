@@ -358,11 +358,19 @@ def flash_attention(q: Array, k: Array, v: Array, scale: float) -> Array:
     """Multi-head non-causal flash attention.
 
     q: [B, N, H, Dh], k/v: [B, M, H, Dh] -> [B, N, H, Dh].
+
+    Block sizes scale with sequence length: long sequences (the CTA
+    cost-reg runs ~12k-28k tokens) amortize per-step grid overhead over
+    1024-token tiles (at dh=16 the kernel is overhead/VPU-bound, not
+    MXU-bound, so fewer+bigger steps win), while short ones (ViT at ~1-2k
+    tokens) keep 512 tiles to bound padding waste.
     """
     b, n, h, dh = q.shape
     m = k.shape[1]
+    bn = 1024 if n >= 8192 else 512
+    bm = 1024 if m >= 8192 else 512
     qf = jnp.moveaxis(q, 2, 1).reshape(b * h, n, dh)
     kf = jnp.moveaxis(k, 2, 1).reshape(b * h, m, dh)
     vf = jnp.moveaxis(v, 2, 1).reshape(b * h, m, dh)
-    out = _flash3(qf, kf, vf, scale)
+    out = _flash3(qf, kf, vf, scale, bn, bm)
     return jnp.moveaxis(out.reshape(b, h, n, dh), 1, 2)

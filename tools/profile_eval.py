@@ -71,6 +71,10 @@ CATEGORIES = (
     ("scatter", "warp scatter (bwd)"),
     ("blend", "pallas blend kernel"),
     ("flash", "pallas flash attention"),
+    # pallas kernels show up as <module-path>/pallas_call; the two kernel
+    # families are distinguished by their module path
+    ("attn/pallas_call", "pallas flash attention"),
+    ("build_volume/pallas_call", "pallas blend kernel"),
     ("conv", "convolutions"),
     ("dot", "matmuls"),
     ("einsum", "matmuls"),
@@ -183,7 +187,7 @@ def run_components():
     scales = {"stage1": 8, "stage2": 4, "stage3": 2, "stage4": 1}
     itv = float(dv[0, 1] - dv[0, 0])
 
-    def vol_module(d, mode, fold, gy=8, ky=16, max_c=16):
+    def vol_module(d, mode, fold, gy=8, ky=16, max_c=16, budget=1 << 30):
         class VolOnly(nn.Module):
             @nn.compact
             def __call__(self, f, cam, dvv):
@@ -191,7 +195,10 @@ def run_components():
                     ndepth=d, groups=8, cost_reg_type="Normal",
                     depth_type="ce", warp_mode=mode, fold_depth=fold,
                     xgrouped_gx=gy, grouped_warp_kx=ky,
-                    pallas_max_c=max_c, dtype=DT,
+                    # band-sharing a D=16 band needs the gate open up to 16
+                    grouped_warp_th=max(8, d if (fold or mode == "grouped")
+                                        else 8),
+                    pallas_max_c=max_c, warp_patch_budget=budget, dtype=DT,
                 ).build_volume(f, cam, dvv, train=False)
 
         return VolOnly()
@@ -210,17 +217,33 @@ def run_components():
             offs = (jnp.arange(d, dtype=jnp.float32) - d / 2) * (itv * sc)
             dvals = ctr[:, None] + offs[None, :, None, None]
 
-        variants = [("folded", "folded", False, 8, 16, 16),
-                    ("pallas", "pallas", False, 8, 16, 16),
-                    ("pallas+fold", "pallas", True, 8, 16, 16),
-                    ("pallas gy16", "pallas", False, 16, 32, 16),
-                    ("pallas gy16+fold", "pallas", True, 16, 32, 16)]
+        variants = [("folded", "folded", False, 8, 16, 16, 1 << 30),
+                    ("pallas", "pallas", False, 8, 16, 16, 1 << 30),
+                    ("pallas+fold", "pallas", True, 8, 16, 16, 1 << 30),
+                    ("pallas gy16", "pallas", False, 16, 32, 16, 1 << 30),
+                    ("pallas gy16+fold", "pallas", True, 16, 32, 16, 1 << 30)]
         if s == "stage2":
             # fold changes the C=32 economics (16x fewer indices); the
             # pallas_max_c knob forces the gate open for the measurement
-            variants.append(("pallas+fold C32", "pallas", True, 8, 16, 32))
-        for label, mode, fold, gy, ky, max_c in variants:
-            m = vol_module(d, mode, fold, gy, ky, max_c)
+            variants.append(
+                ("pallas+fold C32", "pallas", True, 8, 16, 32, 1 << 30))
+            # depth-band per-pixel patches, XLA blend: D=16 band in one
+            # [3, kx] patch per pixel — 16x fewer indices than folded
+            variants.append(
+                ("grouped kx16", "grouped", False, 8, 16, 16, 1 << 30))
+            variants.append(
+                ("grouped kx32", "grouped", False, 8, 32, 16, 1 << 30))
+        if s == "stage3":
+            variants.append(
+                ("grouped kx16", "grouped", False, 8, 16, 16, 1 << 30))
+        if s == "stage4":
+            # depth axis run whole (no lax.map chunking of the patch temp)
+            variants.append(
+                ("pallas nochunk", "pallas", False, 8, 16, 16, 6 << 30))
+            variants.append(
+                ("pallas gy16 nochunk", "pallas", False, 16, 32, 16, 6 << 30))
+        for label, mode, fold, gy, ky, max_c, budget in variants:
+            m = vol_module(d, mode, fold, gy, ky, max_c, budget)
             try:
                 vars_ = jax.jit(m.init)(
                     jax.random.PRNGKey(0), feats, cams[s], dvals)
