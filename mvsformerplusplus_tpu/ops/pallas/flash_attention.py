@@ -340,12 +340,19 @@ def _flash3(q: Array, k: Array, v: Array, scale: float,
 
 
 def _flash3_fwd(q, k, v, scale, bn, bm):
+    # Under differentiation, clamp blocks to 512: the backward kernels hold
+    # ~[bn, bm] fp32 temps (s/p/ds) per program, which at 1024 blocks sit
+    # near the 16MB VMEM ceiling. The 1024 escalation stays on the primal
+    # (inference) path, where only the [bn, d] accumulator scales with bn.
+    # lse padding follows the fwd bn, so fwd and bwd must clamp identically.
+    bn, bm = min(bn, 512), min(bm, 512)
     qs = q * scale
     out, lse = _flash_fwd(qs, k, v, bn, bm)
     return out, (qs, k, v, out, lse)
 
 
 def _flash3_bwd(scale, bn, bm, res, g):
+    bn, bm = min(bn, 512), min(bm, 512)
     qs, k, v, out, lse = res
     dq, dk, dv = _flash_bwd(qs, k, v, out, lse, g, scale, bn, bm)
     return dq, dk, dv

@@ -270,14 +270,18 @@ class Trainer:
                     continue
                 sums[k] = sums.get(k, 0.0) + float(v)
             n += 1
-        local = {k: v / max(1, n) for k, v in sums.items()}
         if jax.process_count() > 1:
-            # ≡ reference dist.all_reduce(val_metrics)/world_size
-            # (trainer/mvsformer_trainer.py:240-244)
+            # allgather (sum, n) pairs and divide AFTER the global sum: with
+            # rank-strided val sets of uneven length, mean-of-host-means (the
+            # reference's all_reduce/world_size, trainer/mvsformer_trainer.py
+            # :240-244) would weight short hosts' batches more — the monitor
+            # would depend on host count.
             from jax.experimental import multihost_utils
 
-            keys = sorted(local)
-            vec = np.array([local[k] for k in keys], np.float32)
+            keys = sorted(sums)
+            vec = np.array([sums[k] for k in keys] + [float(n)], np.float32)
             all_vecs = multihost_utils.process_allgather(vec)
-            local = {k: float(all_vecs[:, i].mean()) for i, k in enumerate(keys)}
-        return local
+            totals = all_vecs.sum(axis=0)
+            n_total = max(1.0, float(totals[-1]))
+            return {k: float(totals[i]) / n_total for i, k in enumerate(keys)}
+        return {k: v / max(1, n) for k, v in sums.items()}

@@ -196,8 +196,7 @@ def run_components():
                     depth_type="ce", warp_mode=mode, fold_depth=fold,
                     xgrouped_gx=gy, grouped_warp_kx=ky,
                     # band-sharing a D=16 band needs the gate open up to 16
-                    grouped_warp_th=max(8, d if (fold or mode == "grouped")
-                                        else 8),
+                    grouped_warp_th=(d if (fold or mode == "grouped") else 8),
                     pallas_max_c=max_c, warp_patch_budget=budget, dtype=DT,
                 ).build_volume(f, cam, dvv, train=False)
 
@@ -217,11 +216,18 @@ def run_components():
             offs = (jnp.arange(d, dtype=jnp.float32) - d / 2) * (itv * sc)
             dvals = ctr[:, None] + offs[None, :, None, None]
 
+        # production never folds stage1: its full-range 32-hypothesis sweep
+        # has no per-pixel band for one patch to cover (fold is unsound
+        # there, StageNet gates it off via full_range) — label the ablation
+        # rows so they don't read as achievable production speedups
+        unsound = " (unsound @s1, ablation only)" if s == "stage1" else ""
         variants = [("folded", "folded", False, 8, 16, 16, 1 << 30),
                     ("pallas", "pallas", False, 8, 16, 16, 1 << 30),
-                    ("pallas+fold", "pallas", True, 8, 16, 16, 1 << 30),
+                    (f"pallas+fold{unsound}", "pallas", True,
+                     8, 16, 16, 1 << 30),
                     ("pallas gy16", "pallas", False, 16, 32, 16, 1 << 30),
-                    ("pallas gy16+fold", "pallas", True, 16, 32, 16, 1 << 30)]
+                    (f"pallas gy16+fold{unsound}", "pallas", True,
+                     16, 32, 16, 1 << 30)]
         if s == "stage2":
             # fold changes the C=32 economics (16x fewer indices); the
             # pallas_max_c knob forces the gate open for the measurement

@@ -150,6 +150,15 @@ def main():
         # (trainer/mvsformer_trainer.py:170-181, trainer.grad_norm)
         grad_clip=cfg["trainer"].get("grad_norm"),
     )
+    # BEiT-style layer-wise LR decay for unfrozen-ViT finetunes (reference
+    # models/lr_decay.py:13-83 — present-unused there; opt-in here via
+    # optimizer.args.layer_decay < 1.0)
+    layer_decay = opt_cfg.get("layer_decay")
+    if layer_decay and layer_decay < 1.0:
+        from mvsformerplusplus_tpu.train.optim import scale_vit_grads_by_layer
+
+        tx = scale_vit_grads_by_layer(
+            tx, layer_decay, depth=cfg.get_path("arch.args.vit_depth", 12))
 
     model = build_model(cfg, dtype=jnp.bfloat16, shard_views=(n_cv > 1))
     loss_cfg = cfg.get_path("arch.loss", {}) or {}
