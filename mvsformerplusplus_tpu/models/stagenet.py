@@ -26,6 +26,7 @@ from ..ops.correlation import groupwise_correlation
 from ..ops.geometry import compose_projection
 from ..ops.grid_sample import (
     homography_warp,
+    homography_warp_banded,
     homography_warp_grouped,
     homography_warp_xgrouped,
     homography_warp_ygrouped,
@@ -191,6 +192,12 @@ class StageNet(nn.Module):
         if mode == "grouped" and (self.ndepth > self.grouped_warp_th
                                   or self.full_range):
             mode = "folded"  # depth-grouping unsound for full-range sweeps
+        if mode == "banded" and (c % 8 != 0 or h % self.xgrouped_gx != 0
+                                 or h < 2 * self.xgrouped_gx):
+            # the band kernel slices [ky*C] sublanes in C-steps (C%8) and
+            # groups H rows; unlike 'pallas' it has NO W or C constraints
+            # (the x-selection is a matmul over the full width)
+            mode = "folded"
         if mode == "pallas" and (c % 8 != 0 or h % self.xgrouped_gx != 0
                                  or w % 128 != 0 or c > self.pallas_max_c):
             # kernel slices cells on f32 sublanes (C%8), groups H rows (H%gy),
@@ -204,7 +211,7 @@ class StageNet(nn.Module):
             # economics (16x fewer indices at stage-2 scale), so the knob
             # exists to re-measure
             mode = "folded"
-        grouped = mode in ("grouped", "xgrouped", "pallas")
+        grouped = mode in ("grouped", "xgrouped", "pallas", "banded")
         sub = c // self.groups
 
         def warp_one(src_feat_b, src_proj_b):
@@ -214,7 +221,27 @@ class StageNet(nn.Module):
                 # (8, 128) tile; a C-minor layout pads lanes up to 16x).
                 # Correlation/entropy run in this layout; the volume is
                 # transposed to conv layout [B, D, H, W, G] once, below.
-                if mode == "pallas":
+                if mode == "banded":
+                    # banded-matmul warp (ops/pallas/warp_band.py): full-row
+                    # band DMA + exact one-hot MXU matmuls — no per-pixel
+                    # gather indices at all. fold gating mirrors 'pallas'
+                    # (re-centered fine bands only; the y footprint must fit
+                    # the taller fold window)
+                    fold = (self.fold_depth
+                            and not self.full_range
+                            and not self.shard_depth
+                            and self.ndepth <= self.grouped_warp_th
+                            and h >= self.fold_ky)
+                    warped_t, _ = homography_warp_banded(
+                        src_feat_b, src_proj_b, ref_proj, depth_values,
+                        gy=self.xgrouped_gx,
+                        ky=(self.fold_ky if fold
+                            else max(self.grouped_warp_kx,
+                                     2 * self.xgrouped_gx)),
+                        fold_depth=fold,
+                        band_budget=self.warp_patch_budget,
+                    )  # [B, D, C, N]
+                elif mode == "pallas":
                     # fold shares one patch across the depth band: off for
                     # full-range sweeps (unsound) and under D-sharding (the
                     # shared anchor min couples the cv-sharded depth axis)

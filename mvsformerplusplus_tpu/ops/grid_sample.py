@@ -789,3 +789,214 @@ def homography_warp_cams(
         depth_values,
         **kwargs,
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded-matmul warp (the MXU formulation — ops/pallas/warp_band.py)
+# ---------------------------------------------------------------------------
+
+
+def _band_gather(img_f: Array, starts: Array, ky: int, cw: int) -> Array:
+    """Full-minor row-band gather: img_f [B, H, C*W], starts [B, NB, 1]
+    (band top row) -> [B, NB, ky, C*W]. One index per BAND (thousands, not
+    millions): the slice is contiguous [ky, C*W] rows and spans the full
+    minor dim, so XLA keeps it a native gather running at memory bandwidth."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(1,),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    return jax.lax.gather(
+        img_f, starts, dnums, slice_sizes=(1, ky, cw),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
+
+
+def _band_scatter(dbands: Array, starts: Array, b: int, h: int,
+                  cw: int, ky: int) -> Array:
+    """Transpose of _band_gather: dbands [B, NB, ky, C*W] f32 scatter-added
+    back into [B, H, C*W]. ky native 1D full-minor-window row scatter-adds
+    (the _gather_patches_bwd pattern), each with only NB indices."""
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(2,),
+        inserted_window_dims=(1,),
+        scatter_dims_to_operand_dims=(1,),
+        operand_batching_dims=(0,),
+        scatter_indices_batching_dims=(0,),
+    )
+    acc = jnp.zeros((b, h, cw), jnp.float32)
+    for r in range(ky):
+        acc = jax.lax.scatter_add(
+            acc, starts + r, dbands[:, :, r, :], dn,
+            mode=jax.lax.GatherScatterMode.CLIP)
+    return acc
+
+
+def _banded_prep(coords_c: Array, b: int, h: int, w: int, gy: int, ky: int,
+                 fold_depth: bool):
+    """Per-chunk coordinate prep shared by the banded fwd and bwd.
+
+    Returns (x_r, dyr_r, fy_r [ROWS, 1, W] f32, starts [B, NB, 1] int32,
+    per_band, row_map)."""
+    dc = coords_c.shape[1]
+    hg = h // gy
+    cf = coords_c.astype(jnp.float32).reshape(b, dc, hg, gy, w, 2)
+    x = cf[..., 0]
+    y = cf[..., 1]
+    y0 = jnp.floor(y)
+    fy = y - y0
+    # anchor = min corner over the rows (and depths when folded) the band
+    # serves, input-clamped against diverged projections (_group_anchors)
+    yc = jnp.clip(y0, -1, h - 1)
+    if fold_depth:
+        ay = jnp.clip(jnp.min(yc, axis=(1, 3, 4)), 0, h - ky)  # [B, Hg]
+        dyr = y0 - ay[:, None, :, None, None]
+        starts = ay.astype(jnp.int32).reshape(b, hg, 1)
+        per_band = dc * gy
+
+        def row_map(i, r, hg=hg, dc=dc, hh=h, gy=gy):
+            # band i = (b, hg); r = (dd, g) -> natural (b, d, h) row order
+            return ((i // hg) * dc + r // gy) * hh + (i % hg) * gy + r % gy
+    else:
+        ay = jnp.clip(jnp.min(yc, axis=(3, 4)), 0, h - ky)  # [B, Dc, Hg]
+        dyr = y0 - ay[..., None, None]
+        starts = ay.astype(jnp.int32).reshape(b, dc * hg, 1)
+        per_band = gy
+        row_map = None  # contiguous: band (b, d, hg) -> rows i*gy + g
+
+    rows = b * dc * h
+    to_r = lambda a: a.reshape(rows, 1, w)
+    return to_r(x), to_r(dyr), to_r(fy), starts, per_band, row_map
+
+
+def _banded_chunk_fwd(img_f, coords_c, b, h, w, c, gy, ky, fold_depth):
+    from .pallas.warp_band import banded_warp_rows
+
+    dc = coords_c.shape[1]
+    x_r, dyr_r, fy_r, starts, per_band, row_map = _banded_prep(
+        coords_c, b, h, w, gy, ky, fold_depth)
+    bands = _band_gather(img_f, starts, ky, c * w)
+    bands = bands.reshape(-1, ky * c, w)
+    out = banded_warp_rows(bands, x_r, dyr_r, fy_r, c, gy, ky, w,
+                           d_shared=dc if fold_depth else 1,
+                           row_map=row_map)  # [C, B*Dc*H, W]
+    out = out.reshape(c, b, dc, h * w)
+    return jnp.transpose(out, (1, 2, 0, 3))  # [B, Dc, C, N]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget):
+    """Banded-matmul sampler with gradient-stopped coordinates (the
+    reference-default no_grad warp grid). Forward AND backward avoid
+    per-sample index traffic entirely: the backward is the transposed
+    one-hot matmuls (ops/pallas/warp_band.py) plus ky native row
+    scatter-adds with one index per band — replacing the per-sample
+    4C-window scatter that ran at 1 GB/s (~270 ms) in the r3 train profile.
+    """
+    return _banded_impl(img, coords, gy, ky, fold_depth, band_budget)
+
+
+def _banded_impl(img, coords, gy, ky, fold_depth, band_budget):
+    b, h, w, c = img.shape
+    d = coords.shape[1]
+    hg = h // gy
+    assert h % gy == 0 and ky <= h, (h, gy, ky)
+    # [B, H, C, W] flattened: a band row is one contiguous [C*W] run and the
+    # kernel's [ky*C, W] layout is a pure reshape of the gathered [ky, C*W]
+    img_f = jnp.transpose(img, (0, 1, 3, 2)).reshape(b, h, c * w)
+
+    if fold_depth:
+        return _banded_chunk_fwd(img_f, coords, b, h, w, c, gy, ky, True)
+
+    bytes_per_d = b * hg * ky * c * w * img.dtype.itemsize
+    dc = max(1, min(d, band_budget // max(1, bytes_per_d)))
+    while d % dc:
+        dc -= 1
+    if dc == d:
+        return _banded_chunk_fwd(img_f, coords, b, h, w, c, gy, ky, False)
+    chunks = jnp.moveaxis(
+        coords.reshape(b, d // dc, dc, h, w, 2), 1, 0)
+    out = jax.lax.map(
+        lambda cc: _banded_chunk_fwd(img_f, cc, b, h, w, c, gy, ky, False),
+        chunks)  # [nc, B, dc, C, N]
+    return jnp.moveaxis(out, 0, 1).reshape(b, d, c, h * w)
+
+
+def _banded_stopgrad_fwd(img, coords, gy, ky, fold_depth, band_budget):
+    out = _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget)
+    return out, (coords, jnp.zeros((0,) + img.shape, img.dtype))
+
+
+def _banded_stopgrad_bwd(gy, ky, fold_depth, band_budget, res, ct):
+    from .pallas.warp_band import banded_warp_rows_bwd
+
+    coords, ex = res
+    shape, dtype = ex.shape[1:], ex.dtype
+    b, h, w, c = shape
+    d = coords.shape[1]
+    # single pass (no d-chunking): the backward's dbands temp is f32 but
+    # train-protocol sizes stay modest (<= ~0.7 GB/stage at 512x640)
+    x_r, dyr_r, fy_r, starts, per_band, row_map = _banded_prep(
+        coords, b, h, w, gy, ky, fold_depth)
+    g = jnp.transpose(ct.astype(jnp.float32), (2, 0, 1, 3))  # [C,B,D,N]
+    g = g.reshape(c, b * d * h, w)
+    dbands = banded_warp_rows_bwd(
+        g, x_r, dyr_r, fy_r, c, gy, ky, w,
+        d_shared=d if fold_depth else 1, row_map=row_map)
+    nb = starts.shape[1]
+    dimg_f = _band_scatter(
+        dbands.reshape(b, nb, ky, c * w), starts, b, h, c * w, ky)
+    dimg = jnp.transpose(dimg_f.reshape(b, h, c, w), (0, 1, 3, 2))
+    return dimg.astype(dtype), jnp.zeros_like(coords)
+
+
+_banded_stopgrad.defvjp(_banded_stopgrad_fwd, _banded_stopgrad_bwd)
+
+
+def bilinear_sample_banded(img: Array, coords: Array, gy: int = 8,
+                           ky: int = 16, fold_depth: bool = False,
+                           band_budget: int = 1 << 30,
+                           coord_grad: bool = False) -> Array:
+    """Banded-matmul warp sampler (see ops/pallas/warp_band.py): full-width
+    source row-bands fetched with one gather index per row-group, x-selection
+    as exact bf16 one-hot matmuls on the MXU, y-lerp as fp32 masked MACs.
+
+    Bit-exact vs the per-sample path wherever the sample's corner rows fit
+    the [ky] band window (|dv/dy| <= (ky-2)/(gy-1), the y-grouped guarantee);
+    there is NO x-window in this formulation. fold_depth shares one (taller:
+    callers raise ky) band across all D hypotheses — re-centered fine-stage
+    bands only.
+
+    Returns [B, D, C, H*W] fp32 (N-minor), like the other grouped samplers.
+    """
+    if coord_grad:
+        b, d, h, w = coords.shape[:4]
+        warped = bilinear_sample(img, coords)
+        return jnp.moveaxis(warped, -1, 2).reshape(b, d, -1, h * w)
+    return _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget)
+
+
+def homography_warp_banded(
+    src_feat: Array,
+    src_proj: Array,
+    ref_proj: Array,
+    depth_values: Array,
+    gy: int = 8,
+    ky: int = 16,
+    fold_depth: bool = False,
+    band_budget: int = 1 << 30,
+):
+    """Plane-sweep warp through the banded-matmul sampler.
+
+    Same contract as homography_warp_ygrouped: returns
+    (warped [B, D, C, H*W] fp32, None) — out-of-FOV samples are zero by
+    construction (one-hot selectors never match out-of-range coordinates).
+    """
+    b, h, w, _ = src_feat.shape
+    coords, _ = plane_sweep_coords(src_proj, ref_proj, depth_values, h, w)
+    coords = jax.lax.stop_gradient(coords)
+    return bilinear_sample_banded(
+        src_feat, coords, gy=gy, ky=ky, fold_depth=fold_depth,
+        band_budget=band_budget), None

@@ -458,3 +458,125 @@ def test_pallas_ygrouped_fold_wide_group():
     got = np.asarray(got).reshape(b, d, c, h, w).transpose(0, 1, 3, 4, 2)
     ref, _ = homography_warp(feat, src_proj, ref_proj, dv)
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_banded_warp_matches_plain_full_range():
+    """Banded-matmul warp (ops/pallas/warp_band.py, interpret mode): exact
+    one-hot MXU selection must reproduce the per-sample sampler on a
+    full-range sweep with a rolled camera (out-of-image regions -> zeros)."""
+    rng = np.random.RandomState(11)
+    b, h, w, c, d = 1, 32, 48, 8, 6
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.12, tx=0.4)
+    roll = 0.04
+    rz = np.array([
+        [np.cos(roll), -np.sin(roll), 0],
+        [np.sin(roll), np.cos(roll), 0],
+        [0, 0, 1]], dtype=np.float32)
+    src_ext[:3, :3] = rz @ src_ext[:3, :3]
+    ref_proj = compose(ref_intr, ref_ext)[None]
+    src_proj = compose(src_intr, src_ext)[None]
+    dv = np.linspace(2.0, 6.0, d, dtype=np.float32)[None].repeat(b, 0)
+
+    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_banded
+
+    got, _ = homography_warp_banded(feat, src_proj, ref_proj, dv, ky=16)
+    got = np.asarray(got).reshape(b, d, c, h, w).transpose(0, 1, 3, 4, 2)
+    ref, _ = homography_warp(feat, src_proj, ref_proj, dv)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_banded_warp_fold_and_chunk_match_plain():
+    """Depth-folded banded warp on re-centered per-pixel bands + the
+    d-chunked path (band_budget forces lax.map) + bf16 inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(12)
+    b, h, w, c, d = 2, 24, 40, 8, 4
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.08, tx=0.3)
+    ref_proj = np.repeat(compose(ref_intr, ref_ext)[None], b, 0)
+    src_proj = np.repeat(compose(src_intr, src_ext)[None], b, 0)
+    base = np.linspace(3.6, 4.4, d, dtype=np.float32)
+    dv = np.broadcast_to(base[None, :, None, None], (b, d, h, w)).copy()
+    dv = dv * rng.uniform(0.96, 1.04, size=(b, 1, h, w)).astype(np.float32)
+
+    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_banded
+
+    ref, _ = homography_warp(feat, src_proj, ref_proj, dv)
+    ref_t = np.moveaxis(np.asarray(ref), -1, 2).reshape(b, d, c, h * w)
+
+    got, _ = homography_warp_banded(
+        feat, src_proj, ref_proj, dv, ky=24, fold_depth=True)
+    np.testing.assert_allclose(np.asarray(got), ref_t, rtol=1e-4, atol=1e-4)
+
+    got, _ = homography_warp_banded(
+        feat, src_proj, ref_proj, dv, ky=16, band_budget=1)
+    np.testing.assert_allclose(np.asarray(got), ref_t, rtol=1e-4, atol=1e-4)
+
+    # bf16 features: the one-hot selection is exact (0/1 in bf16), so the
+    # result equals the per-sample sampler run on the same bf16 features
+    fb = jnp.asarray(feat, jnp.bfloat16)
+    got16, _ = homography_warp_banded(fb, src_proj, ref_proj, dv, ky=16)
+    ref16, _ = homography_warp(fb, src_proj, ref_proj, dv)
+    ref16_t = jnp.moveaxis(ref16, -1, 2).reshape(b, d, c, h * w)
+    np.testing.assert_allclose(np.asarray(got16), np.asarray(ref16_t),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_banded_warp_grad_matches_plain():
+    """Banded backward (transposed one-hot matmuls + ky band row
+    scatter-adds) == per-sample sampler gradients, folded and unfolded."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(13)
+    b, h, w, c, d = 1, 16, 32, 8, 4
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.1, tx=0.3)
+    ref_proj = jnp.asarray(compose(ref_intr, ref_ext)[None])
+    src_proj = jnp.asarray(compose(src_intr, src_ext)[None])
+    dv = jnp.asarray(np.linspace(3.0, 5.0, d, dtype=np.float32)[None])
+    g = jnp.asarray(rng.randn(b, d, c, h * w).astype(np.float32))
+
+    from mvsformerplusplus_tpu.ops.grid_sample import (
+        homography_warp,
+        homography_warp_banded,
+    )
+
+    def loss_plain(x):
+        warped, _ = homography_warp(x, src_proj, ref_proj, dv)
+        return jnp.sum(jnp.moveaxis(warped, -1, 2).reshape(b, d, c, h * w) * g)
+
+    gr = jax.grad(loss_plain)(jnp.asarray(feat))
+
+    def loss_banded(x):
+        warped, _ = homography_warp_banded(x, src_proj, ref_proj, dv, ky=16)
+        return jnp.sum(warped * g)
+
+    gb = jax.grad(loss_banded)(jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
+
+    # folded: per-pixel re-centered band
+    base = jnp.asarray(
+        np.broadcast_to(np.linspace(3.6, 4.4, d, dtype=np.float32)
+                        [None, :, None, None], (b, d, h, w)).copy())
+
+    def loss_fold(x):
+        warped, _ = homography_warp_banded(
+            x, src_proj, ref_proj, base, ky=16, fold_depth=True)
+        return jnp.sum(warped * g)
+
+    def loss_plain_band(x):
+        warped, _ = homography_warp(x, src_proj, ref_proj, base)
+        return jnp.sum(jnp.moveaxis(warped, -1, 2).reshape(b, d, c, h * w) * g)
+
+    gf = jax.grad(loss_fold)(jnp.asarray(feat))
+    grf = jax.grad(loss_plain_band)(jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(grf),
+                               rtol=1e-4, atol=1e-4)

@@ -227,7 +227,13 @@ def run_components():
                      8, 16, 16, 1 << 30),
                     ("pallas gy16", "pallas", False, 16, 32, 16, 1 << 30),
                     (f"pallas gy16+fold{unsound}", "pallas", True,
-                     16, 32, 16, 1 << 30)]
+                     16, 32, 16, 1 << 30),
+                    ("banded", "banded", False, 8, 16, 64, 1 << 30),
+                    (f"banded+fold{unsound}", "banded", True,
+                     8, 16, 64, 1 << 30),
+                    ("banded gy16", "banded", False, 16, 32, 64, 1 << 30),
+                    (f"banded gy16+fold{unsound}", "banded", True,
+                     16, 32, 64, 1 << 30)]
         if s == "stage2":
             # fold changes the C=32 economics (16x fewer indices); the
             # pallas_max_c knob forces the gate open for the measurement
