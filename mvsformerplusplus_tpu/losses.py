@@ -36,9 +36,15 @@ def ce_depth_loss(prob_volume_pre: Array, depth_values: Array, depth_gt: Array,
     gt = depth_gt.astype(jnp.float32)[:, None]  # [B,1,H,W]
     valid = mask.astype(jnp.float32) > 0.5
 
+    ndepth = dv.shape[1]
     if inverse_depth:
+        # flip only the (gradient-free) hypotheses; the LOGITS flip is
+        # replaced by indexing at D-1-gt_index below — log_softmax is
+        # flip-equivariant, so this is exactly equivalent, and it removes a
+        # reverse op whose backward materialized a 64x tile-padded cotangent
+        # ([B, D, h, w] with B minor) at large crops
+        # (docs/profiles/r3_compile_cache.md OOM dump).
         dv = jnp.flip(dv, axis=1)
-        logits = jnp.flip(logits, axis=1)
 
     intervals = jnp.abs(dv[:, 1:] - dv[:, :-1]) / 2
     intervals = jnp.concatenate([intervals, intervals[:, -1:]], axis=1)  # [B,D,H,W]
@@ -50,7 +56,9 @@ def ce_depth_loss(prob_volume_pre: Array, depth_values: Array, depth_gt: Array,
     final_mask = in_range[:, 0] & valid
 
     gt_index = jnp.sum((right_edges <= gt).astype(jnp.int32), axis=1)  # [B,H,W]
-    gt_index = jnp.clip(gt_index, 0, dv.shape[1] - 1)
+    gt_index = jnp.clip(gt_index, 0, ndepth - 1)
+    if inverse_depth:
+        gt_index = ndepth - 1 - gt_index
 
     log_probs = jax.nn.log_softmax(logits, axis=1)
     nll = -jnp.take_along_axis(log_probs, gt_index[:, None], axis=1)[:, 0]
@@ -76,9 +84,11 @@ def reg_depth_loss(depth_est: Array, depth_gt: Array, mask: Array,
     clip_max = None
     if clip_func == "dynamic" and depth_values is not None:
         dv = depth_values.astype(jnp.float32)
-        if inverse_depth:
-            dv = jnp.flip(dv, axis=1)
-        clip_max = (dv[:, -1] - dv[:, 0]) / di  # [B,H,W]
+        # only the range endpoints matter: index instead of flipping the
+        # whole [B, D, H, W] hypothesis tensor (see ce_depth_loss note)
+        lo, hi = ((dv[:, -1], dv[:, 0]) if inverse_depth
+                  else (dv[:, 0], dv[:, -1]))
+        clip_max = (hi - lo) / di  # [B,H,W]
 
     extras = {}
     if log_var is None:

@@ -80,9 +80,12 @@ def _fwd_kernel(band_ref, x_ref, dyr_ref, fy_ref, out_ref,
     # per-output-pixel floor coordinate (lanes). 0/1 are exact in bf16, so
     # the MXU contraction reproduces the gather bit-for-bit; coordinates
     # outside [0, W) simply never match (zeros padding semantics).
-    iota_u = jax.lax.broadcasted_iota(jnp.float32, (w, x.shape[-1]), 0)
-    a0 = (iota_u == x0).astype(band.dtype)         # [W, BX]
-    a1 = (iota_u == (x0 + 1.0)).astype(band.dtype)
+    # Mosaic's tpu.iota is integer-only; compare in int32 (x0 is an exact
+    # integer float; |x0| beyond int32 range cannot match iota < W anyway).
+    x0i = x0.astype(jnp.int32)
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (w, x.shape[-1]), 0)
+    a0 = (iota_u == x0i).astype(band.dtype)        # [W, BX]
+    a1 = (iota_u == (x0i + 1)).astype(band.dtype)
 
     rv0 = jax.lax.dot(band, a0, preferred_element_type=jnp.float32)
     rv1 = jax.lax.dot(band, a1, preferred_element_type=jnp.float32)
@@ -94,7 +97,7 @@ def _fwd_kernel(band_ref, x_ref, dyr_ref, fy_ref, out_ref,
     for k in range(ky):
         wy = jnp.where(dyr == k, 1.0 - fy, jnp.where(dyr == k - 1, fy, 0.0))
         acc = acc + rv[k * c:(k + 1) * c, :] * wy
-    out_ref[:] = acc[:, None, :]
+    out_ref[:] = acc[:, None, None, :]
 
 
 def _bwd_kernel(g_ref, x_ref, dyr_ref, fy_ref, dband_ref,
@@ -106,7 +109,7 @@ def _bwd_kernel(g_ref, x_ref, dyr_ref, fy_ref, dband_ref,
     fx = x - x0
     dyr = dyr_ref[0]
     fy = fy_ref[0]
-    g = g_ref[:, 0, :]                      # [C, BX] f32
+    g = g_ref[:, 0, 0, :]                   # [C, BX] f32
 
     # d rv[k*C:(k+1)*C] = g * wy_k  (the y-lerp transpose)
     drv_rows = []
@@ -115,9 +118,10 @@ def _bwd_kernel(g_ref, x_ref, dyr_ref, fy_ref, dband_ref,
         drv_rows.append(g * wy)
     drv = jnp.concatenate(drv_rows, axis=0)  # [ky*C, BX]
 
-    iota_u = jax.lax.broadcasted_iota(jnp.float32, (w, x.shape[-1]), 0)
-    a0 = (iota_u == x0).astype(jnp.float32)
-    a1 = (iota_u == (x0 + 1.0)).astype(jnp.float32)
+    x0i = x0.astype(jnp.int32)
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (w, x.shape[-1]), 0)
+    a0 = (iota_u == x0i).astype(jnp.float32)
+    a1 = (iota_u == (x0i + 1)).astype(jnp.float32)
     # dband = drv0 @ a0^T + drv1 @ a1^T, contracting the BX axis
     dn = (((1,), (1,)), ((), ()))
     contrib = (
@@ -160,16 +164,20 @@ def banded_warp_rows(bands: Array, x_src: Array, dyr: Array, fy: Array,
     rmap = row_map or (lambda i, r: i * per_band + r)
     wspec = pl.BlockSpec((1, 1, bx), lambda i, r, j: (rmap(i, r), 0, j))
 
-    return pl.pallas_call(
+    # the output carries a singleton axis so the block's LAST TWO dims are
+    # (1 == array dim, bx): Mosaic requires the trailing two block dims to be
+    # (8, 128)-divisible or span the array — (C, 1, BX) would violate that
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, c=c, ky=ky, w=w),
         grid=(nb, per_band, nj),
         in_specs=[pl.BlockSpec((1, ky * c, w), lambda i, r, j: (i, 0, 0)),
                   wspec, wspec, wspec],
-        out_specs=pl.BlockSpec((c, 1, bx),
-                               lambda i, r, j: (0, rmap(i, r), j)),
-        out_shape=jax.ShapeDtypeStruct((c, rows, w), jnp.float32),
+        out_specs=pl.BlockSpec((c, 1, 1, bx),
+                               lambda i, r, j: (0, rmap(i, r), 0, j)),
+        out_shape=jax.ShapeDtypeStruct((c, rows, 1, w), jnp.float32),
         interpret=_interpret(),
     )(bands, x_src, dyr, fy)
+    return out.reshape(c, rows, w)
 
 
 def banded_warp_rows_bwd(g: Array, x_src: Array, dyr: Array, fy: Array,
@@ -192,12 +200,13 @@ def banded_warp_rows_bwd(g: Array, x_src: Array, dyr: Array, fy: Array,
                           steps_per_band=per_band * nj),
         grid=(nb, per_band * nj),
         in_specs=[
-            pl.BlockSpec((c, 1, bx),
-                         lambda i, s: (0, rmap(i, s // nj), s % nj)),
+            pl.BlockSpec((c, 1, 1, bx),
+                         lambda i, s: (0, rmap(i, s // nj), 0, s % nj)),
             wspec, wspec, wspec,
         ],
         out_specs=pl.BlockSpec((1, ky * c, w), lambda i, s: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nb, ky * c, w), jnp.float32),
         interpret=_interpret(),
-    )(g.astype(jnp.float32), x_src, dyr, fy)
+    )(g.astype(jnp.float32).reshape(g.shape[0], rows, 1, w),
+      x_src, dyr, fy)
     return dbands.astype(band_dtype)

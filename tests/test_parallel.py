@@ -163,6 +163,59 @@ def test_data_sharded_forward_matches():
 
 
 @pytest.mark.slow
+def test_batch_stats_are_global_batch_under_sharding():
+    """SyncBatchNorm equivalence (reference train.py:199): one train step
+    with the batch sharded over 4 data shards must produce the SAME
+    batch_stats updates as the identical batch on one device — i.e. BN
+    moments are computed over the GLOBAL batch, not per-shard. Under jit's
+    global-view SPMD this should hold by construction; this test pins it so
+    a future switch to shard_map/per-device code can't silently regress BN
+    to per-shard statistics."""
+    from mvsformerplusplus_tpu.train.optim import make_optimizer
+    from mvsformerplusplus_tpu.train.step import TrainState, make_train_step
+
+    rng = np.random.RandomState(5)
+    imgs, cams, dv = make_inputs(rng, b=4, v=3)
+    batch = {"imgs": imgs, "cams": cams, "depth_values": dv}
+    h, w = imgs.shape[2], imgs.shape[3]
+    batch["depth_gt"] = {
+        f"stage{i + 1}": np.asarray(rng.uniform(
+            float(dv.min()), float(dv.max()),
+            (4, h // (8 >> i), w // (8 >> i))), np.float32)
+        for i in range(4)
+    }
+    batch["mask"] = {k: (rng.rand(*g.shape) > 0.2).astype(np.float32)
+                     for k, g in batch["depth_gt"].items()}
+
+    model = CasMVSNet(ndepths=(8, 4, 4, 4), remat_stages=False)
+    variables = jax.jit(lambda r: model.init(
+        r, imgs, cams, dv, train=True))(jax.random.PRNGKey(0))
+    assert variables.get("batch_stats"), "model lost its BN layers?"
+    tx = make_optimizer(total_steps=10, warmup_steps=1)
+    step = make_train_step(model, tx)
+
+    jb = jax.tree.map(jnp.asarray, batch)
+    state_ref, _ = jax.jit(step)(TrainState.create(variables, tx), jb)
+
+    mesh = make_mesh(n_data=4, n_cv=1, devices=jax.devices()[:4])
+    bspec = NamedSharding(mesh, P("data"))
+    rspec = NamedSharding(mesh, P())
+    state_s = jax.device_put(TrainState.create(variables, tx), rspec)
+    jb_s = jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), bspec), batch)
+    with jax.sharding.set_mesh(mesh):
+        state_sh, _ = jax.jit(step, in_shardings=(rspec, bspec))(state_s, jb_s)
+
+    ref_stats = jax.tree.leaves(state_ref.batch_stats)
+    sh_stats = jax.tree.leaves(state_sh.batch_stats)
+    assert len(ref_stats) == len(sh_stats) and len(ref_stats) > 0
+    for a, b in zip(ref_stats, sh_stats):
+        # tolerance: cross-shard reductions re-associate float sums (observed
+        # max rel diff ~2.5e-5); PER-SHARD stats would differ at O(1)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_bucket_compile_cache_reuse(tmp_path):
     """The multi-scale schedule compiles ONE executable per (crop shape)
     bucket and reuses it across steps/epochs (VERDICT r1 weak #7: the

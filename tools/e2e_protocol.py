@@ -1,0 +1,191 @@
+"""Full DTU-protocol end-to-end accuracy run on the analytic oracle scene.
+
+    python tools/e2e_protocol.py [--steps-root /tmp/e2e_protocol] [--epochs 8]
+
+The scaled-down CPU version lives in tests/test_e2e_protocol.py; this tool
+runs the SAME chain at the reference's DTU eval protocol (5 views,
+1152x1536, 192 depth hypotheses — README.md:91-96) on the TPU:
+
+  1. render the analytic quad scene (exact GT depth) as a DTU-format train
+     set (512x640 crops bucket) and an MVSNet-format eval scan at protocol
+     resolution;
+  2. train CasMVSNet on it (CasMVSNet shares the full pipeline — cascade,
+     StageNet, warp kernels, losses, trainer — minus the frozen ViT whose
+     pretrained weights do not exist on this box);
+  3. run test.py at the full protocol -> depth_metric.txt vs analytic GT;
+  4. fuse with all three filters (pcd / dpcd / gipuma) and score each cloud
+     against the analytic surface (accuracy) and the back-projected GT
+     (completeness);
+  5. write docs/e2e_protocol_metrics.json (the committed artifact).
+
+A composition bug anywhere (per-stage intrinsics, resize, warp conventions,
+bucket plumbing, fusion math) craters these end metrics; module-level parity
+tests cannot catch the composition.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+import numpy as np
+
+H, W = 1152, 1536
+TRAIN_H, TRAIN_W = 512, 640
+
+
+def build_data(root: Path):
+    from mvsformerplusplus_tpu.data.synthetic import (GeometricScene,
+                                                      make_geometric_dtu,
+                                                      make_geometric_eval_scan)
+
+    scene = GeometricScene(0, tex_res=4096)
+    tr, ev = root / "train_data", root / "eval_data"
+    if not (tr / "train.txt").exists():
+        print("rendering train set (512x640)...", flush=True)
+        make_geometric_dtu(tr, n_views=5, n_lights=7, h=TRAIN_H, w=TRAIN_W,
+                           ndepth=32, scene=scene)
+        (tr / "val.txt").write_text("scan1\n")
+        print("rendering eval scan (1152x1536)...", flush=True)
+        make_geometric_eval_scan(ev, n_views=5, h=H, w=W, ndepth=192,
+                                 scene=scene)
+    return scene, tr, ev
+
+
+def cloud_metrics(scene, ply_path: Path, eval_root: Path):
+    from scipy.spatial import cKDTree
+
+    from mvsformerplusplus_tpu.data.io import read_cam_file, read_pfm
+    from mvsformerplusplus_tpu.fusion.ply import read_ply
+
+    pts, _ = read_ply(ply_path)
+    pts = np.asarray(pts, np.float32)
+    acc = scene.point_to_surface_distance(pts)
+    gt, _ = read_pfm(eval_root / "gt_depths" / "scan1" / "depth_map_0000.pfm")
+    K, E, _, _, _ = read_cam_file(
+        eval_root / "scan1" / "cams" / "00000000_cam.txt")
+    h, w = gt.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    rays = np.linalg.inv(K) @ np.stack(
+        [xx.ravel(), yy.ravel(), np.ones(h * w)], 0)
+    cam_pts = rays * gt.ravel()[None]
+    world = (E[:3, :3].T @ (cam_pts - E[:3, 3][:, None])).T[::29]
+    comp = cKDTree(pts).query(world, k=1)[0]
+    return {
+        "n_points": int(len(pts)),
+        "accuracy_mean_mm": round(float(np.mean(acc)), 4),
+        "accuracy_median_mm": round(float(np.median(acc)), 4),
+        "completeness_mean_mm": round(float(np.mean(comp)), 4),
+        "completeness_median_mm": round(float(np.median(comp)), 4),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/e2e_protocol")
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse checkpoints from a previous run")
+    args = ap.parse_args()
+
+    root = Path(args.root)
+    root.mkdir(parents=True, exist_ok=True)
+    scene, tr, ev = build_data(root)
+
+    cfg = {
+        "name": "e2e_protocol",
+        "arch": {"args": {
+            "model_type": "casmvs",
+            "feat_chs": [8, 16, 32, 64], "base_ch": [8, 8, 8, 8],
+            "ndepths": [32, 16, 8, 4],
+            "depth_interals_ratio": [4.0, 2.67, 1.5, 1.0],
+            "depth_type": ["ce", "ce", "ce", "ce"],
+            "inverse_depth": True,
+            "cost_reg_type": ["Normal", "Normal", "Normal", "Normal"],
+        }},
+        "data_loader": [{"type": "DTULoader", "args": {
+            "datapath": str(tr), "train_data_list": str(tr / "train.txt"),
+            "mode": "train", "nviews": 5, "num_depths": 32,
+            "interval_scale": 1.06, "batch_size": 2,
+            "val_data_list": str(tr / "val.txt"),
+            "height": TRAIN_H, "width": TRAIN_W,
+            "random_crop": True, "augment": False, "num_workers": 4,
+            "multi_scale_args": {"scales": [[TRAIN_H, TRAIN_W]],
+                                 "resize_range": [1.0, 1.0],
+                                 "scale_batch_map": {str(TRAIN_H): 2}},
+        }}],
+        "optimizer": {"args": {"lr": 3e-3, "warmup_steps": 20,
+                               "min_lr": 0.05, "weight_decay": 0.01}},
+        "trainer": {"epochs": args.epochs, "save_dir": str(root / "saved"),
+                    "logging_every": 10, "monitor": "min mean_error",
+                    "early_stop": 100},
+    }
+    (root / "cfg.json").write_text(json.dumps(cfg))
+    env = dict(os.environ, PYTHONPATH=str(REPO))
+
+    t0 = time.time()
+    if not args.skip_train:
+        r = subprocess.run(
+            [sys.executable, str(REPO / "train.py"), "-c",
+             str(root / "cfg.json"), "--save_dir", str(root / "saved")],
+            env=env, cwd=str(REPO))
+        assert r.returncode == 0, "training failed"
+    train_s = time.time() - t0
+
+    (root / "list.txt").write_text("scan1\n")
+    results = {"protocol": f"5 views, {H}x{W}, 192 depths, bf16 TPU",
+               "model": "casmvs (trained on the analytic scene; pretrained "
+                        "reference weights are not available on this box)",
+               "train_epochs": args.epochs,
+               "train_seconds": round(train_s, 1)}
+    filters = [
+        ("pcd", ["--filter_method", "pcd", "--conf", "0.3",
+                 "--fusion_view", "5"]),
+        ("dpcd", ["--filter_method", "dpcd", "--conf", "0.3",
+                  "--fusion_view", "5"]),
+        ("gipuma", ["--filter_method", "gipuma", "--prob_threshold", "0.3",
+                    "--disp_threshold", "1.0", "--num_consistent", "2",
+                    "--fusion_view", "5"]),
+    ]
+    for name, extra in filters:
+        out = root / f"out_{name}"
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, str(REPO / "test.py"),
+             "--config", str(root / "cfg.json"),
+             "--ckpt", str(root / "saved" / "checkpoints"),
+             "--testpath", str(ev), "--testlist", str(root / "list.txt"),
+             "--outdir", str(out), "--gt_depth_path", str(ev / "gt_depths"),
+             "--num_view", "5", "--numdepth", "192",
+             "--max_h", str(H), "--max_w", str(W)] + extra,
+            env=env, cwd=str(REPO))
+        assert r.returncode == 0, f"test.py failed ({name})"
+        entry = {"eval_seconds": round(time.time() - t0, 1)}
+        metric_txt = out / "depth_metric.txt"
+        if metric_txt.exists():
+            for line in metric_txt.read_text().splitlines():
+                if ":" in line:
+                    k, v = line.split(":", 1)
+                    try:
+                        entry[k.strip()] = round(float(v.split()[0]), 6)
+                    except ValueError:
+                        pass
+        entry.update(cloud_metrics(scene, out / "scan1.ply", ev))
+        results[name] = entry
+        print(name, json.dumps(entry), flush=True)
+
+    art = REPO / "docs" / "e2e_protocol_metrics.json"
+    art.write_text(json.dumps(results, indent=2) + "\n")
+    print("wrote", art, flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -150,7 +150,7 @@ def parse_trace(outdir: str, top: int = 40):
     return 0
 
 
-def run_components():
+def run_components(only: str = ""):
     """Time each stage's build_volume at DTU eval scale across warp
     variants: 'folded' (exact single-gather baseline), 'pallas' with
     fold_depth off, and 'pallas' with the depth-folded patch (production
@@ -255,6 +255,8 @@ def run_components():
             variants.append(
                 ("pallas gy16 nochunk", "pallas", False, 16, 32, 16, 6 << 30))
         for label, mode, fold, gy, ky, max_c, budget in variants:
+            if only and only not in label:
+                continue
             m = vol_module(d, mode, fold, gy, ky, max_c, budget)
             try:
                 vars_ = jax.jit(m.init)(
@@ -275,10 +277,12 @@ def main():
     ap.add_argument("--outdir", default="/tmp/xprof_eval")
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--components", action="store_true")
+    ap.add_argument("--only", default="",
+                    help="substring filter on component variant labels")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
     if args.components:
-        run_components()
+        run_components(args.only)
         return 0
     if not args.parse_only:
         run_trace(args.outdir)
