@@ -47,17 +47,19 @@ class CascadeDepth(nn.Module):
     remat_stages: bool = True
     shard_views: bool = False
     shard_depth: bool = False
+    # "auto" = 'banded' on TPU: the banded-matmul warp
+    # (ops/pallas/warp_band.py) beat the gather+blend 'pallas' path at every
+    # stage of the DTU eval protocol on v5e (r3 ablation,
+    # docs/profiles/r3_warp_ablation.txt: stage4 242->124 ms, stage3
+    # 122->86, stage2 95->59, stage1 65->56 per build_volume).
     warp_mode: str = "auto"
-    # Depth-folding and row-group size per stage. "auto" applies the
-    # measured v5e rule (tools/profile_eval.py --components, DTU eval
-    # protocol): folding shares one wider [fold_ky, fold_wx] patch across
-    # the hypothesis band, so its index saving scales with ndepth while the
-    # patch overfetch is fixed — it wins at ndepth==8 (stage3: 138→122 ms
-    # with gy=16) and LOSES at ndepth==4 (stage4: 241→271 ms). Rule:
-    # fold iff re-centered and 8 <= ndepth <= grouped_warp_th; gy=16 under
-    # fold (halves indices again; zero extra window escapes at DTU
-    # geometry, tests/test_fold_window.py), gy=8 otherwise. A bare
-    # bool/int applies to every stage; a sequence is taken literally.
+    # Depth-folding and row-group size per stage. For the banded warp the
+    # measured optimum is uniform: gy=8, NO folding (folding widens the band
+    # to fold_ky=24, growing every matmul 1.5x, and band re-fetch is cheap —
+    # banded+fold measured slower at every stage). The gather-based 'pallas'
+    # path keeps its r2 rule: fold iff re-centered and ndepth==8, gy=16
+    # under fold (stage3 138->122 ms), gy=8 otherwise. A bare bool/int
+    # applies to every stage; a sequence is taken literally.
     fold_depth: Any = "auto"
     warp_gy: Any = "auto"
     # per-stage aleatoric-uncertainty heads (see StageNet.log_var); a bare
@@ -65,22 +67,25 @@ class CascadeDepth(nn.Module):
     log_var: Any = False
     dtype: Any = jnp.float32
 
-    def _stage_warp_plan(self, i: int, nd: int):
+    def _stage_warp_plan(self, i: int, nd: int, warp_mode: str):
         """Resolve (fold_depth, gy) for stage i from the auto rule or an
         explicit override."""
         if isinstance(self.fold_depth, (list, tuple)):
             fold = bool(self.fold_depth[i])
         elif self.fold_depth == "auto":
-            # StageNet only folds re-centered bands with ndepth <= its
-            # grouped_warp_th (8); below ndepth 8 the index saving no
-            # longer covers the wider patch (measured at ndepth=4)
-            fold = i > 0 and nd == 8
+            if warp_mode == "banded":
+                fold = False  # measured slower at every stage (ablation r3)
+            else:
+                # gather paths only fold re-centered bands with ndepth <=
+                # grouped_warp_th (8); below ndepth 8 the index saving no
+                # longer covers the wider patch (measured at ndepth=4)
+                fold = i > 0 and nd == 8
         else:
             fold = bool(self.fold_depth)
         if isinstance(self.warp_gy, (list, tuple)):
             gy = int(self.warp_gy[i])
         elif self.warp_gy == "auto":
-            gy = 16 if fold else 8
+            gy = 16 if (fold and warp_mode != "banded") else 8
         else:
             gy = int(self.warp_gy)
         return fold, gy
@@ -89,7 +94,7 @@ class CascadeDepth(nn.Module):
         stages = []
         warp_mode = self.warp_mode
         if warp_mode == "auto":
-            warp_mode = ("pallas" if jax.default_backend() in ("tpu", "axon")
+            warp_mode = ("banded" if jax.default_backend() in ("tpu", "axon")
                          else "folded")
         for i, nd in enumerate(self.ndepths):
             tc = None
@@ -120,15 +125,12 @@ class CascadeDepth(nn.Module):
                              else bool(self.log_var)
                              and self.cost_reg_type[i] != "PureTransformerCostReg"
                              and nd <= 8),
-                    # 'auto': the x-grouped gather + Pallas blend kernel on
-                    # TPU (8x fewer gather indices than 'folded', layouts
-                    # pinned in-kernel — the pure-XLA 'xgrouped' variant is
-                    # exact too but XLA's layout assignment lane-pads its
-                    # stage-4 accumulator 16x at DTU eval scale); 'folded'
-                    # off-TPU where the kernel would run interpreted
+                    # 'auto': the banded-matmul warp on TPU (band DMA +
+                    # exact one-hot MXU matmuls, ops/pallas/warp_band.py);
+                    # 'folded' off-TPU where kernels would run interpreted
                     warp_mode=warp_mode,
-                    fold_depth=self._stage_warp_plan(i, nd)[0],
-                    xgrouped_gx=self._stage_warp_plan(i, nd)[1],
+                    fold_depth=self._stage_warp_plan(i, nd, warp_mode)[0],
+                    xgrouped_gx=self._stage_warp_plan(i, nd, warp_mode)[1],
                     # the first sweep spans the full scene range: band-
                     # sharing warp paths (grouped / fold_depth) stay off
                     full_range=(i == 0),

@@ -22,23 +22,99 @@ import jax.numpy as jnp
 
 from ..ops.pe import position_encoding_3d
 from .blocks import FlashAttnBlock
-from .layers import Conv3dBlock, Deconv3dBlock, LayerNorm3D
+from .layers import (Conv3dBlock, Deconv3dBlock, LayerNorm3D, _ConvKernel,
+                     fold_conv3d_kernel)
 
 Array = jax.Array
 Dtype = Any
 
 
+def _auto_layout(layout: str) -> str:
+    if layout != "auto":
+        return layout
+    return ("dfold" if jax.default_backend() in ("tpu", "axon")
+            else "ndhwc")
+
+
+def _to_dfold(x: Array):
+    """[B, D, H, W, C] -> [B, H, W, D*C] (one materialized transpose per
+    regularizer — the folded layout's channel dim D*C tiles the (8,128)
+    lanes instead of padding C=8-64 up to 16x)."""
+    b, d, h, w, c = x.shape
+    return jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, d * c), d
+
+
+def _from_dfold(y: Array, d: int) -> Array:
+    b, h, w, dc = y.shape
+    y = y.reshape(b, h, w, d, dc // d)
+    return jnp.transpose(y, (0, 3, 1, 2, 4))  # [B, D, H, W, C]
+
+
+def _conv1x1_folded(x: Array, d: int, features: int, name: str,
+                    dtype, use_bias: bool = True) -> Array:
+    """Folded 1x1x1 nn.Conv (block-diagonal over D): einsum on the C slice.
+    Registers the same {kernel, bias} tree as the plain nn.Conv."""
+    b, h, w, dc = x.shape
+    ci = dc // d
+    k, bias = _ConvKernel((1, 1, 1, ci, features), use_bias=use_bias,
+                          name=name)()
+    y = jnp.einsum("bhwdi,io->bhwdo",
+                   x.reshape(b, h, w, d, ci),
+                   k[0, 0, 0].astype(dtype))
+    if bias is not None:
+        y = y + bias.astype(dtype)
+    return y.reshape(b, h, w, d * features)
+
+
 class CostRegNet(nn.Module):
-    """3D U-Net, stride-2 in (D, H, W) (reference models/module.py:367-408)."""
+    """3D U-Net, stride-2 in (D, H, W) (reference models/module.py:367-408).
+
+    layout 'dfold': see CostRegNet3D — here the D extent halves down the
+    encoder (the stride-2-in-D levels become block-banded 2D convs with
+    stride baked into the band) and doubles back up the decoder."""
 
     base_channels: int
     last_layer: bool = True
+    layout: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         bc = self.base_channels
         in_ch = x.shape[-1]
+        if _auto_layout(self.layout) == "dfold":
+            x2, d = _to_dfold(x)
+            d2, d4, d8 = (d + 1) // 2, (d + 3) // 4, (d + 7) // 8
+            conv0 = x2
+            conv2 = Conv3dBlock(bc * 2, dtype=self.dtype)(
+                Conv3dBlock(bc * 2, stride=2, dtype=self.dtype)(
+                    conv0, train, d_fold=d), train, d_fold=d2)
+            conv4 = Conv3dBlock(bc * 4, dtype=self.dtype)(
+                Conv3dBlock(bc * 4, stride=2, dtype=self.dtype)(
+                    conv2, train, d_fold=d2), train, d_fold=d4)
+            y = Conv3dBlock(bc * 8, dtype=self.dtype)(
+                Conv3dBlock(bc * 8, stride=2, dtype=self.dtype)(
+                    conv4, train, d_fold=d4), train, d_fold=d8)
+            y = conv4 + Deconv3dBlock(bc * 4, stride=(2, 2, 2),
+                                      dtype=self.dtype)(y, train, d_fold=d8)
+            y = conv2 + Deconv3dBlock(bc * 2, stride=(2, 2, 2),
+                                      dtype=self.dtype)(y, train, d_fold=d4)
+            up = Deconv3dBlock(bc, stride=(2, 2, 2), dtype=self.dtype)(
+                y, train, d_fold=d2)
+            if in_ch != bc:
+                inner = _conv1x1_folded(conv0, d, bc, "Conv_0", self.dtype)
+            else:
+                inner = conv0
+            y = inner + up
+            if self.last_layer:
+                w3, _ = _ConvKernel((3, 3, 3, bc, 1),
+                                    name="Conv_1" if in_ch != bc
+                                    else "Conv_0")()
+                w2, _ = fold_conv3d_kernel(w3.astype(self.dtype), d, 1)
+                y = jax.lax.conv_general_dilated(
+                    y, w2, (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return _from_dfold(y, d)
         conv0 = x
         conv2 = Conv3dBlock(bc * 2, dtype=self.dtype)(
             Conv3dBlock(bc * 2, stride=2, dtype=self.dtype)(conv0, train), train)
@@ -61,10 +137,16 @@ class CostRegNet(nn.Module):
 
 class CostRegNet3D(nn.Module):
     """3D U-Net with (H, W)-only strides — keeps the D axis dense; used when
-    ndepth <= 8 (reference models/module.py:453-504)."""
+    ndepth <= 8 (reference models/module.py:453-504).
+
+    layout 'dfold' (the TPU default) folds the D axis into channels and runs
+    exactly-equivalent 2D convs with block-banded weights (layers.py
+    fold_conv3d_kernel) — same parameter tree, same numbers, D*C-wide minor
+    dims instead of the 8-64-channel tensors the TPU tile pads up to 16x."""
 
     base_channels: int
     log_var: bool = False
+    layout: str = "auto"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -72,6 +154,34 @@ class CostRegNet3D(nn.Module):
         bc = self.base_channels
         in_ch = x.shape[-1]
         s = (1, 2, 2)
+        out = 2 if self.log_var else 1
+        if _auto_layout(self.layout) == "dfold":
+            x2, d = _to_dfold(x)
+            conv0 = x2
+            conv2 = Conv3dBlock(bc * 2, dtype=self.dtype)(
+                Conv3dBlock(bc * 2, stride=s, dtype=self.dtype)(
+                    conv0, train, d_fold=d), train, d_fold=d)
+            conv4 = Conv3dBlock(bc * 4, dtype=self.dtype)(
+                Conv3dBlock(bc * 4, stride=s, dtype=self.dtype)(
+                    conv2, train, d_fold=d), train, d_fold=d)
+            y = Conv3dBlock(bc * 8, dtype=self.dtype)(
+                Conv3dBlock(bc * 8, stride=s, dtype=self.dtype)(
+                    conv4, train, d_fold=d), train, d_fold=d)
+            y = conv4 + Deconv3dBlock(bc * 4, stride=s, dtype=self.dtype)(
+                y, train, d_fold=d)
+            y = conv2 + Deconv3dBlock(bc * 2, stride=s, dtype=self.dtype)(
+                y, train, d_fold=d)
+            up = Deconv3dBlock(bc, stride=s, dtype=self.dtype)(
+                y, train, d_fold=d)
+            if in_ch != bc:
+                inner = _conv1x1_folded(conv0, d, bc, "Conv_0", self.dtype)
+                final_name = "Conv_1"
+            else:
+                inner = conv0
+                final_name = "Conv_0"
+            y = inner + up
+            y = _conv1x1_folded(y, d, out, final_name, self.dtype)
+            return _from_dfold(y, d)
         conv0 = x
         conv2 = Conv3dBlock(bc * 2, dtype=self.dtype)(
             Conv3dBlock(bc * 2, stride=s, dtype=self.dtype)(conv0, train), train)
@@ -87,7 +197,6 @@ class CostRegNet3D(nn.Module):
         else:
             inner = conv0
         x = inner + up
-        out = 2 if self.log_var else 1
         return nn.Conv(out, (1, 1, 1), dtype=self.dtype)(x)
 
 

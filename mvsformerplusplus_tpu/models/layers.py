@@ -133,9 +133,24 @@ class Conv3dBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(self, x: Array, train: bool = False,
+                 d_fold: Optional[int] = None) -> Array:
         ks = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size,) * 3
         st = self.stride if isinstance(self.stride, tuple) else (self.stride,) * 3
+        if d_fold is not None:
+            # depth-folded layout: x [B, H, W, d_fold*Ci] -> [B, H', W',
+            # d_out*features]; exactly the 3D conv (fold_conv3d_kernel)
+            b, h, w, dc = x.shape
+            ci = dc // d_fold
+            w3, _ = _ConvKernel((*ks, ci, self.features),
+                                name="Conv_0")()
+            w2, d_out = fold_conv3d_kernel(
+                w3.astype(self.dtype), d_fold, st[0])
+            y = jax.lax.conv_general_dilated(
+                x, w2, (st[1], st[2]), sym_pad(ks[1:]),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return _bn_relu_folded(y, d_out, self.features, self.act,
+                                   train, self.dtype)
         x = nn.Conv(
             self.features, ks, strides=st, padding=sym_pad(ks), use_bias=False,
             dtype=self.dtype,
@@ -147,6 +162,80 @@ class Conv3dBlock(nn.Module):
         if self.act:
             x = nn.relu(x)
         return x.astype(self.dtype)
+
+
+class _ConvKernel(nn.Module):
+    """Parameter holder replicating nn.Conv's param tree ({kernel[, bias]})
+    so the D-folded conv paths below register the EXACT same checkpoint
+    structure (and init statistics) as the plain nn.Conv/nn.ConvTranspose
+    paths — the two layouts are interchangeable on a saved model."""
+
+    shape: Tuple[int, ...]
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(), self.shape)
+        b = (self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+             if self.use_bias else None)
+        return k, b
+
+
+def fold_d_indicator(kz: int, d_in: int, d_out: int, stride_d: int,
+                     offset: int, transposed: bool) -> Array:
+    """[kz, d_in, d_out] 0/1 selector relating depth taps to depth channels.
+
+    Folding the depth axis of an NDHWC volume into channels turns a 3D conv
+    into an exactly-equivalent 2D conv whose weight is BLOCK-BANDED in depth
+    (out depth-block d sees in depth-blocks {d*s + dz - offset}); a
+    transposed conv (fractionally strided) uses di*s == do + dz - offset —
+    the zero-insertion upsampling baked into the band structure. The dense
+    2D conv spends d_in/kz more MACs than the true 3D op (free next to the
+    MXU) but its channel dim grows from C (8-64: lane-padded up to 16x by
+    the (8,128)/(16,128) tile) to D*C — the r3 profiles attribute 210-316 ms
+    and an 8-64x padded-HBM OOM class to exactly those narrow-C 3D convs
+    (docs/profiles/r3_compile_cache.md)."""
+    dz = jnp.arange(kz)[:, None, None]
+    di = jnp.arange(d_in)[None, :, None]
+    do = jnp.arange(d_out)[None, None, :]
+    if transposed:
+        cond = di * stride_d == do + dz - offset
+    else:
+        cond = di == do * stride_d + dz - offset
+    return cond.astype(jnp.float32)
+
+
+def fold_conv3d_kernel(w3: Array, d_in: int, stride_d: int,
+                       transposed: bool = False) -> Tuple[Array, int]:
+    """3D kernel [kz, ky, kx, ci, co] -> equivalent 2D kernel
+    [ky, kx, d_in*ci, d_out*co] for the depth-folded layout. Padding
+    conventions match the repo's blocks: conv pads (k-1)//2 per side
+    (sym_pad), transposed convs use deconv_pad's p=(k-1)//2, op=s-1."""
+    kz, ky, kx, ci, co = w3.shape
+    p = (kz - 1) // 2
+    if transposed:
+        d_out = d_in * stride_d  # (d-1)*s - 2p + k + (s-1) with k=2p+1
+        offset = kz - 1 - p
+    else:
+        d_out = (d_in + 2 * p - kz) // stride_d + 1
+        offset = p
+    m = fold_d_indicator(kz, d_in, d_out, stride_d, offset, transposed)
+    w2 = jnp.einsum("zyxio,zad->yxaido", w3.astype(jnp.float32), m,
+                    precision=jax.lax.Precision.HIGHEST)
+    return w2.reshape(ky, kx, d_in * ci, d_out * co).astype(w3.dtype), d_out
+
+
+def _bn_relu_folded(y: Array, d_out: int, features: int, act: bool,
+                    train: bool, dtype) -> Array:
+    """BatchNorm with per-C stats (grouping the folded D copies) + ReLU.
+    Param/stat shapes stay [C] — identical tree to the plain path."""
+    b, h, w, _ = y.shape
+    y = y.reshape(b, h, w, d_out, features)  # free minor split
+    y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                     epsilon=1e-5, dtype=jnp.float32)(y)
+    if act:
+        y = nn.relu(y)
+    return y.astype(dtype).reshape(b, h, w, d_out * features)
 
 
 class Deconv3dBlock(nn.Module):
@@ -165,9 +254,25 @@ class Deconv3dBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(self, x: Array, train: bool = False,
+                 d_fold: Optional[int] = None) -> Array:
         ks = self.kernel_size if isinstance(self.kernel_size, tuple) else (self.kernel_size,) * 3
         st = self.stride if isinstance(self.stride, tuple) else (self.stride,) * 3
+        if d_fold is not None:
+            b, h, w, dc = x.shape
+            ci = dc // d_fold
+            w3, _ = _ConvKernel((*ks, ci, self.features),
+                                name="ConvTranspose_0")()
+            w2, d_out = fold_conv3d_kernel(
+                w3.astype(self.dtype), d_fold, st[0], transposed=True)
+            # fractionally-strided conv over (H, W); the D upsampling lives
+            # in the folded kernel's band structure
+            y = jax.lax.conv_general_dilated(
+                x, w2, (1, 1), deconv_pad(ks[1:], st[1:]),
+                lhs_dilation=(st[1], st[2]),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return _bn_relu_folded(y, d_out, self.features, self.act,
+                                   train, self.dtype)
         x = nn.ConvTranspose(
             self.features, ks, strides=st, padding=deconv_pad(ks, st),
             use_bias=False, dtype=self.dtype,

@@ -838,8 +838,8 @@ def _banded_prep(coords_c: Array, b: int, h: int, w: int, gy: int, ky: int,
                  fold_depth: bool):
     """Per-chunk coordinate prep shared by the banded fwd and bwd.
 
-    Returns (x_r, dyr_r, fy_r [ROWS, 1, W] f32, starts [B, NB, 1] int32,
-    per_band, row_map)."""
+    Returns (x_r, dyr_r, fy_r [NBROWS, gy, W] f32 with row-groups ordered
+    (b, d, hg), starts [B, NB_per_b, 1] int32, d_shared, hg)."""
     dc = coords_c.shape[1]
     hg = h // gy
     cf = coords_c.astype(jnp.float32).reshape(b, dc, hg, gy, w, 2)
@@ -854,34 +854,28 @@ def _banded_prep(coords_c: Array, b: int, h: int, w: int, gy: int, ky: int,
         ay = jnp.clip(jnp.min(yc, axis=(1, 3, 4)), 0, h - ky)  # [B, Hg]
         dyr = y0 - ay[:, None, :, None, None]
         starts = ay.astype(jnp.int32).reshape(b, hg, 1)
-        per_band = dc * gy
-
-        def row_map(i, r, hg=hg, dc=dc, hh=h, gy=gy):
-            # band i = (b, hg); r = (dd, g) -> natural (b, d, h) row order
-            return ((i // hg) * dc + r // gy) * hh + (i % hg) * gy + r % gy
+        d_shared = dc
     else:
         ay = jnp.clip(jnp.min(yc, axis=(3, 4)), 0, h - ky)  # [B, Dc, Hg]
         dyr = y0 - ay[..., None, None]
         starts = ay.astype(jnp.int32).reshape(b, dc * hg, 1)
-        per_band = gy
-        row_map = None  # contiguous: band (b, d, hg) -> rows i*gy + g
+        d_shared = 1
 
-    rows = b * dc * h
-    to_r = lambda a: a.reshape(rows, 1, w)
-    return to_r(x), to_r(dyr), to_r(fy), starts, per_band, row_map
+    nbrows = b * dc * hg
+    to_r = lambda a: a.reshape(nbrows, gy, w)
+    return to_r(x), to_r(dyr), to_r(fy), starts, d_shared, hg
 
 
 def _banded_chunk_fwd(img_f, coords_c, b, h, w, c, gy, ky, fold_depth):
     from .pallas.warp_band import banded_warp_rows
 
     dc = coords_c.shape[1]
-    x_r, dyr_r, fy_r, starts, per_band, row_map = _banded_prep(
+    x_r, dyr_r, fy_r, starts, d_shared, hg = _banded_prep(
         coords_c, b, h, w, gy, ky, fold_depth)
     bands = _band_gather(img_f, starts, ky, c * w)
     bands = bands.reshape(-1, ky * c, w)
     out = banded_warp_rows(bands, x_r, dyr_r, fy_r, c, gy, ky, w,
-                           d_shared=dc if fold_depth else 1,
-                           row_map=row_map)  # [C, B*Dc*H, W]
+                           d_shared=d_shared, hg=hg)  # [C, NBROWS, gy, W]
     out = out.reshape(c, b, dc, h * w)
     return jnp.transpose(out, (1, 2, 0, 3))  # [B, Dc, C, N]
 
@@ -938,13 +932,12 @@ def _banded_stopgrad_bwd(gy, ky, fold_depth, band_budget, res, ct):
     d = coords.shape[1]
     # single pass (no d-chunking): the backward's dbands temp is f32 but
     # train-protocol sizes stay modest (<= ~0.7 GB/stage at 512x640)
-    x_r, dyr_r, fy_r, starts, per_band, row_map = _banded_prep(
+    x_r, dyr_r, fy_r, starts, d_shared, hg = _banded_prep(
         coords, b, h, w, gy, ky, fold_depth)
     g = jnp.transpose(ct.astype(jnp.float32), (2, 0, 1, 3))  # [C,B,D,N]
-    g = g.reshape(c, b * d * h, w)
+    g = g.reshape(c, b * d * hg, gy, w)
     dbands = banded_warp_rows_bwd(
-        g, x_r, dyr_r, fy_r, c, gy, ky, w,
-        d_shared=d if fold_depth else 1, row_map=row_map)
+        g, x_r, dyr_r, fy_r, c, gy, ky, w, d_shared=d_shared, hg=hg)
     nb = starts.shape[1]
     dimg_f = _band_scatter(
         dbands.reshape(b, nb, ky, c * w), starts, b, h, c * w, ky)

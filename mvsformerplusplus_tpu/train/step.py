@@ -49,6 +49,19 @@ class TrainState:
         return {"params": self.params, "batch_stats": self.batch_stats}
 
 
+def _debug_logs(grads) -> Dict[str, Array]:
+    """Per-top-level-module gradient norms + non-finite counts (≡ the
+    reference's --debug per-layer scaled-grad inspection,
+    trainer/mvsformer_trainer.py:151-168 — there it hunts fp16 overflow;
+    here it localizes inf/NaN sources under bf16)."""
+    out: Dict[str, Array] = {}
+    for mod, sub in grads.items():
+        out[f"gnorm/{mod}"] = optax.global_norm(sub)
+        out[f"nonfinite/{mod}"] = sum(
+            jnp.sum(~jnp.isfinite(g)) for g in jax.tree.leaves(sub))
+    return out
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -56,12 +69,17 @@ def make_train_step(
     dlossw: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
     inverse_depth: bool = True,
     clip_func: Optional[str] = "dynamic",
+    debug: bool = False,
 ) -> Callable:
     """Returns step(state, batch) -> (state, logs).
 
     batch: {imgs [B,V,H,W,3], cams {stageN: [B,V,2,4,4]},
             depth_values [B,D], depth_gt {stageN: [B,h,w]},
             mask {stageN: [B,h,w]}}
+
+    logs carries the stage-4 depth/confidence of the batch as device arrays
+    (for the trainer's image panels, reference utils.py:103-123) — they cost
+    nothing unless the host fetches them.
     """
 
     def loss_fn(params, batch_stats, batch):
@@ -85,6 +103,11 @@ def make_train_step(
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         logs = {"loss": loss, "grad_norm": optax.global_norm(grads), **loss_dict}
+        if "refined_depth" in outputs:
+            logs["depth_est"] = outputs["refined_depth"]
+            logs["conf_est"] = outputs.get("photometric_confidence")
+        if debug:
+            logs.update(_debug_logs(grads))
         new_state = TrainState(
             params=new_params, batch_stats=new_stats,
             opt_state=new_opt, step=state.step + 1,
@@ -98,7 +121,8 @@ def make_accum_train_step(model, tx, n_micro: int,
                           depth_types: Sequence[str] = ("ce", "ce", "ce", "ce"),
                           dlossw: Sequence[float] = (1.0, 1.0, 1.0, 1.0),
                           inverse_depth: bool = True,
-                          clip_func: Optional[str] = "dynamic") -> Callable:
+                          clip_func: Optional[str] = "dynamic",
+                          debug: bool = False) -> Callable:
     """Gradient-accumulated step: batch leaves carry a leading micro axis
     [n_micro, B_micro, ...]; grads averaged over micro-batches before one
     optimizer update (≡ reference trainer micro-batch loop,
@@ -116,25 +140,34 @@ def make_accum_train_step(model, tx, n_micro: int,
             depth_types=depth_types, dlossw=dlossw,
             inverse_depth=inverse_depth, clip_func=clip_func,
         )
-        return total, (updates["batch_stats"], loss_dict)
+        return total, (updates["batch_stats"], loss_dict,
+                       outputs["refined_depth"])
 
     def step(state: TrainState, batch):
         def micro(carry, mb):
-            grads_acc, stats, loss_acc = carry
-            (loss, (new_stats, _)), grads = jax.value_and_grad(
+            grads_acc, stats, loss_acc, _ = carry
+            (loss, (new_stats, _, depth)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(state.params, stats, mb)
             grads_acc = jax.tree.map(lambda a, g: a + g, grads_acc, grads)
-            return (grads_acc, new_stats, loss_acc + loss), None
+            # carry (not stack) the depth: the LAST micro-batch's panel is
+            # representative and the carry keeps one copy in memory
+            return (grads_acc, new_stats, loss_acc + loss,
+                    depth.astype(jnp.float32)), None
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-        (grads, new_stats, loss_sum), _ = jax.lax.scan(
-            micro, (zero_grads, state.batch_stats, 0.0), batch
+        ish = batch["imgs"].shape  # [n_micro, B_micro, V, H, W, 3]
+        depth0 = jnp.zeros((ish[1], ish[3], ish[4]), jnp.float32)
+        (grads, new_stats, loss_sum, depth), _ = jax.lax.scan(
+            micro, (zero_grads, state.batch_stats, 0.0, depth0), batch
         )
         grads = jax.tree.map(lambda g: g / n_micro, grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        logs = {"loss": loss_sum / n_micro, "grad_norm": optax.global_norm(grads)}
+        logs = {"loss": loss_sum / n_micro, "grad_norm": optax.global_norm(grads),
+                "depth_est": depth}
+        if debug:
+            logs.update(_debug_logs(grads))
         return TrainState(new_params, new_stats, new_opt, state.step + 1), logs
 
     return step

@@ -31,7 +31,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..parallel.mesh import data_extent_per_process, make_global_batch
-from ..utils.logging import ScalarWriter
+from ..utils.logging import ImageWriter, ScalarWriter
 from .checkpoints import CheckpointManager
 from .metrics import depth_metrics
 from .optim import make_optimizer
@@ -62,7 +62,8 @@ class Trainer:
                  monitor: str = "min mean_error", early_stop: int = 10,
                  logging_every: int = 100, config: Optional[dict] = None,
                  mesh=None, use_tensorboard: bool = False,
-                 interval_norm: str = "dtu"):
+                 interval_norm: str = "dtu", log_images: bool = True,
+                 debug: bool = False):
         self.model = model
         self.train_loader = train_loader
         self.val_loader = val_loader
@@ -80,6 +81,9 @@ class Trainer:
         self.ckpt = CheckpointManager(self.save_dir / "checkpoints",
                                       mode=self.monitor_mode)
         self.writer = ScalarWriter(self.save_dir, use_tensorboard)
+        self.debug = debug
+        self.images = (ImageWriter(self.save_dir, tb=self.writer.tb)
+                       if log_images else None)
         self._plain_step = None
         self._accum_steps: Dict[int, Any] = {}
         self._eval_fn = None
@@ -102,11 +106,13 @@ class Trainer:
     def _step_for(self, n_micro: int):
         if n_micro <= 1:
             if self._plain_step is None:
-                step = make_train_step(self.model, self.tx, **self.loss_kwargs)
+                step = make_train_step(self.model, self.tx,
+                                       debug=self.debug, **self.loss_kwargs)
                 self._plain_step = self._jit_step(step, micro=False)
             return self._plain_step
         if n_micro not in self._accum_steps:
             step = make_accum_train_step(self.model, self.tx, n_micro,
+                                         debug=self.debug,
                                          **self.loss_kwargs)
             self._accum_steps[n_micro] = self._jit_step(step, micro=True)
         return self._accum_steps[n_micro]
@@ -188,6 +194,37 @@ class Trainer:
             except ValueError:  # not the main thread (tests)
                 return
 
+    def _report_debug(self, logs, epoch: int, i: int):
+        """Per-module grad norms; WARN with the module names on inf/NaN
+        (≡ reference --debug, trainer/mvsformer_trainer.py:151-168)."""
+        gnorms = {k.split("/", 1)[1]: float(v) for k, v in logs.items()
+                  if k.startswith("gnorm/")}
+        bad = {k.split("/", 1)[1]: int(v) for k, v in logs.items()
+               if k.startswith("nonfinite/") and int(v) > 0}
+        log.info("debug epoch %d step %d per-module gnorm %s", epoch, i,
+                 {k: round(v, 4) for k, v in gnorms.items()})
+        self.writer.write("debug", gnorms, self.global_step)
+        if bad:
+            log.warning("NON-FINITE gradients at epoch %d step %d: %s "
+                        "(module -> count)", epoch, i, bad)
+
+    def _write_panels(self, logs, batch, n_micro: int):
+        """Depth/GT/error/confidence panels for sample 0 of the (last
+        micro-)batch (≡ reference save_images, utils.py:103-123)."""
+        try:
+            depth = np.asarray(logs["depth_est"])[0]
+            conf = logs.get("conf_est")
+            conf = None if conf is None else np.asarray(conf)[0]
+            gt = batch.get("depth_gt", {}).get("stage4")
+            mask = batch.get("mask", {}).get("stage4")
+            idx = (-1, 0) if n_micro > 1 else (0,)  # last micro, sample 0
+            gt = None if gt is None else np.asarray(gt)[idx]
+            mask = None if mask is None else np.asarray(mask)[idx]
+            self.images.write("train", self.global_step, depth, gt, conf,
+                              mask)
+        except Exception as e:  # panels must never kill a training run
+            log.warning("image panel write failed: %s", e)
+
     def train(self, state: Optional[TrainState] = None,
               start_epoch: int = 0) -> TrainState:
         not_improved = 0
@@ -224,6 +261,10 @@ class Trainer:
                     self.writer.write("train", {
                         "loss": loss, "grad_norm": float(logs["grad_norm"]),
                     }, self.global_step)
+                    if self.debug:
+                        self._report_debug(logs, epoch, i)
+                    if self.images is not None and "depth_est" in logs:
+                        self._write_panels(logs, batch, n_micro)
             train_time = time.time() - t0
 
             val_metrics = {}
@@ -252,6 +293,7 @@ class Trainer:
         eval_fn = self._eval_step()
         sums: Dict[str, float] = {}
         n = 0
+        wrote_panel = False
         for batch, _ in self.val_loader.epoch(0):
             batch = _array_batch(batch)
             if self.mesh is not None:
@@ -265,6 +307,18 @@ class Trainer:
                     batch = jax.device_put(
                         batch, NamedSharding(self.mesh, P()))
             m = eval_fn(state, batch)
+            if self.images is not None and not wrote_panel:
+                wrote_panel = True
+                gt = batch.get("depth_gt", {}).get("stage4")
+                mask = batch.get("mask", {}).get("stage4")
+                try:
+                    self.images.write(
+                        "val", self.global_step, np.asarray(m["depth"])[0],
+                        None if gt is None else np.asarray(gt)[0],
+                        np.asarray(m["confidence"])[0],
+                        None if mask is None else np.asarray(mask)[0])
+                except Exception as e:
+                    log.warning("val panel write failed: %s", e)
             for k, v in m.items():
                 if k in ("depth", "confidence"):
                     continue

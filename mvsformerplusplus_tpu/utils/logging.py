@@ -68,6 +68,72 @@ class ScalarWriter:
             self.tb.close()
 
 
+def _colorize(x: np.ndarray, lo: float = None, hi: float = None,
+              mask: Optional[np.ndarray] = None) -> np.ndarray:
+    """[H, W] float -> uint8 [H, W, 3] with a blue->green->red ramp.
+    Robust range from 2/98 percentiles of the (masked) values."""
+    x = np.asarray(x, np.float32)
+    finite = np.isfinite(x)
+    sel = finite if mask is None else (finite & (mask > 0.5))
+    vals = x[sel]
+    if vals.size == 0:
+        return np.zeros((*x.shape, 3), np.uint8)
+    lo = float(np.percentile(vals, 2)) if lo is None else lo
+    hi = float(np.percentile(vals, 98)) if hi is None else hi
+    t = np.clip((np.where(finite, x, lo) - lo) / max(hi - lo, 1e-9), 0, 1)
+    r = np.clip(1.5 - np.abs(4 * t - 3), 0, 1)
+    g = np.clip(1.5 - np.abs(4 * t - 2), 0, 1)
+    b = np.clip(1.5 - np.abs(4 * t - 1), 0, 1)
+    img = np.stack([r, g, b], -1)
+    if mask is not None:
+        img = img * (mask > 0.5)[..., None]
+    return (img * 255).astype(np.uint8)
+
+
+class ImageWriter:
+    """Depth/confidence/GT/error image panels (≡ reference save_images,
+    utils.py:103-123, emitted every logging_every steps,
+    trainer/mvsformer_trainer.py:221-235). Writes PNG grids under
+    save_dir/images/ (dependency-free) and mirrors to tensorboardX when a
+    SummaryWriter is supplied."""
+
+    def __init__(self, save_dir, tb=None):
+        self.dir = Path(save_dir) / "images"
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.tb = tb
+
+    def write(self, mode: str, step: int, depth_est: np.ndarray,
+              depth_gt: Optional[np.ndarray] = None,
+              confidence: Optional[np.ndarray] = None,
+              mask: Optional[np.ndarray] = None):
+        """All inputs [H, W] (first sample of the batch, host numpy)."""
+        from PIL import Image
+
+        depth_est = np.asarray(depth_est, np.float32)
+        panels = []
+        m = None if mask is None else np.asarray(mask, np.float32)
+        if depth_gt is not None:
+            gt = np.asarray(depth_gt, np.float32)
+            sel = gt > 0 if m is None else (m > 0.5)
+            lo = float(np.percentile(gt[sel], 2)) if sel.any() else None
+            hi = float(np.percentile(gt[sel], 98)) if sel.any() else None
+            panels.append(("depth_gt", _colorize(gt, lo, hi, m)))
+            panels.append(("depth_est", _colorize(depth_est, lo, hi)))
+            err = np.abs(depth_est - gt)
+            panels.append(("abs_error", _colorize(err, 0.0, None, m)))
+        else:
+            panels.append(("depth_est", _colorize(depth_est)))
+        if confidence is not None:
+            panels.append(("confidence", _colorize(
+                np.asarray(confidence, np.float32), 0.0, 1.0)))
+        grid = np.concatenate([p for _, p in panels], axis=1)
+        Image.fromarray(grid).save(self.dir / f"{mode}_step{step:08d}.png")
+        if self.tb is not None:
+            for name, img in panels:
+                self.tb.add_image(f"{mode}/{name}", img, step,
+                                  dataformats="HWC")
+
+
 class DictAverageMeter:
     """Running mean of metric dicts (reference utils.py DictAverageMeter)."""
 
