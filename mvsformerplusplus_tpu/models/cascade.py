@@ -45,6 +45,11 @@ class CascadeDepth(nn.Module):
     use_pe3d: bool = True
     transformer_config: Optional[Sequence[dict]] = None
     remat_stages: bool = True
+    # "stage": checkpoint whole stages (replays the warp in the backward);
+    # "cost_reg": checkpoint only the regularizers — the reference's own
+    # granularity (models/module.py:393-396,488-492) — keeping the warp's
+    # forward volume alive instead of recomputing it
+    remat_granularity: str = "stage"
     shard_views: bool = False
     shard_depth: bool = False
     # "auto" = 'banded' on TPU: the banded-matmul warp
@@ -101,11 +106,12 @@ class CascadeDepth(nn.Module):
             if self.cost_reg_type[i] == "PureTransformerCostReg" and self.transformer_config:
                 tc = self.transformer_config[min(i, len(self.transformer_config) - 1)]
             cls = StageNet
-            if self.remat_stages:
-                # the reference gradient-checkpoints its cost regularizers
-                # (models/module.py:393-396,488-492); remat at stage level
-                # trades the same FLOPs for HBM
+            remat_cr = False
+            if self.remat_stages and self.remat_granularity == "stage":
+                # whole-stage remat trades warp+reg FLOPs for HBM
                 cls = nn.remat(StageNet, static_argnums=(4, 6))
+            elif self.remat_stages:
+                remat_cr = True
             stages.append(
                 cls(
                     ndepth=nd,
@@ -131,6 +137,7 @@ class CascadeDepth(nn.Module):
                     warp_mode=warp_mode,
                     fold_depth=self._stage_warp_plan(i, nd, warp_mode)[0],
                     xgrouped_gx=self._stage_warp_plan(i, nd, warp_mode)[1],
+                    remat_cost_reg=remat_cr,
                     # the first sweep spans the full scene range: band-
                     # sharing warp paths (grouped / fold_depth) stay off
                     full_range=(i == 0),

@@ -52,6 +52,7 @@ class DINOv2MVSNet(nn.Module):
     transformer_config: Optional[Sequence[dict]] = None
     use_pe3d: bool = True
     remat_stages: bool = True
+    remat_granularity: str = "stage"
     shard_views: bool = False
     shard_depth: bool = False
     log_var: Any = False
@@ -105,6 +106,7 @@ class DINOv2MVSNet(nn.Module):
             use_pe3d=self.use_pe3d,
             transformer_config=self.transformer_config,
             remat_stages=self.remat_stages,
+            remat_granularity=self.remat_granularity,
             shard_views=self.shard_views,
             shard_depth=self.shard_depth,
             log_var=self.log_var,

@@ -124,6 +124,8 @@ class StageNet(nn.Module):
     # set by the cascade for its FIRST stage: hypotheses span the full scene
     # range there, so band-sharing paths (grouped/fold) are never sound
     full_range: bool = False
+    # gradient-checkpoint the cost regularizer only (see setup)
+    remat_cost_reg: bool = False
     # Aleatoric-uncertainty head (reference models/module.py:454-486 has the
     # 2-channel prob conv behind CostRegNet3D(log_var=True) and
     # models/losses.py:63-97 consumes stage "log_var", but no reference
@@ -144,21 +146,31 @@ class StageNet(nn.Module):
                 f"log_var=True requires the CostRegNet3D regularizer "
                 f"(cost_reg_type 'Normal' with ndepth <= {self.model_th}); "
                 f"stage has {self.cost_reg_type} ndepth={self.ndepth}")
+        # remat_cost_reg: checkpoint ONLY the regularizer (the reference's
+        # own granularity — models/module.py:393-396,488-492 checkpoint the
+        # U-Nets, not the warp) instead of the cascade's whole-stage remat:
+        # saves the banded-warp replay in the backward at the cost of
+        # keeping the [B, D, H, W, G] volume alive.
         if self.cost_reg_type == "PureTransformerCostReg":
             cfg = dict(self.transformer_config or {})
             for k in ("base_channel", "attention_type", "drop", "attn_drop"):
                 cfg.pop(k, None)
             if "down_rate" in cfg:
                 cfg["down_rate"] = tuple(cfg["down_rate"])
-            self.cost_reg = PureTransformerCostReg(
-                base_channel=self.groups, dtype=self.dtype, **cfg
-            )
+            # __call__(self, x, position3d, train): train (static) is arg 3
+            cls = (nn.remat(PureTransformerCostReg, static_argnums=(3,))
+                   if self.remat_cost_reg else PureTransformerCostReg)
+            self.cost_reg = cls(base_channel=self.groups, dtype=self.dtype,
+                                **cfg)
         elif self.ndepth <= self.model_th:
-            self.cost_reg = CostRegNet3D(
-                base_channels=self.groups, log_var=self.log_var,
-                dtype=self.dtype)
+            cls = (nn.remat(CostRegNet3D, static_argnums=(2,))
+                   if self.remat_cost_reg else CostRegNet3D)
+            self.cost_reg = cls(base_channels=self.groups,
+                                log_var=self.log_var, dtype=self.dtype)
         else:
-            self.cost_reg = CostRegNet(base_channels=self.groups, dtype=self.dtype)
+            cls = (nn.remat(CostRegNet, static_argnums=(2,))
+                   if self.remat_cost_reg else CostRegNet)
+            self.cost_reg = cls(base_channels=self.groups, dtype=self.dtype)
 
     def build_volume(self, features: Array, cams: Array, depth_values: Array,
                      train: bool) -> Array:
@@ -361,9 +373,12 @@ class StageNet(nn.Module):
             volume_mean = self.build_volume(features, cams, depth_values, train)
 
         if self.cost_reg_type == "PureTransformerCostReg":
-            reg = self.cost_reg(volume_mean.astype(self.dtype), position3d, train=train)
+            # train passed positionally: it's a remat static_argnum when
+            # remat_cost_reg wraps the regularizer (kwargs can't be static)
+            reg = self.cost_reg(volume_mean.astype(self.dtype), position3d,
+                                train)
         else:
-            reg = self.cost_reg(volume_mean.astype(self.dtype), train=train)
+            reg = self.cost_reg(volume_mean.astype(self.dtype), train)
 
         prob_pre = reg[..., 0].astype(jnp.float32)  # [B, D, H, W]
         prob_volume = jax.nn.softmax(prob_pre, axis=1)

@@ -24,7 +24,7 @@ if os.environ.get("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION") != "python":
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_trace(outdir: str, remat: bool):
+def run_trace(outdir: str, remat: bool, granularity: str = "stage"):
     import jax
     import jax.numpy as jnp
 
@@ -36,7 +36,8 @@ def run_trace(outdir: str, remat: bool):
 
     enable_compilation_cache()
     batch = make_train_batch()
-    model = DINOv2MVSNet(dtype=jnp.bfloat16, remat_stages=remat)
+    model = DINOv2MVSNet(dtype=jnp.bfloat16, remat_stages=remat,
+                         remat_granularity=granularity)
     tx = make_optimizer(total_steps=10000, warmup_steps=500, freeze_vit=True)
     jb = jax.tree.map(jnp.asarray, batch)
     variables = jax.jit(
@@ -53,7 +54,7 @@ def run_trace(outdir: str, remat: bool):
     state, logs = step(state, jb)
     jax.block_until_ready(logs["loss"])
     print(f"steady-state: {(time.time() - t0) * 1000:.0f} ms/step "
-          f"(remat={remat})", flush=True)
+          f"(remat={remat}, granularity={granularity})", flush=True)
 
     jax.profiler.start_trace(outdir)
     state, logs = step(state, jb)
@@ -69,10 +70,13 @@ def main():
     ap.add_argument("--outdir", default="/tmp/xprof_train")
     ap.add_argument("--parse-only", action="store_true")
     ap.add_argument("--no-remat", action="store_true")
+    ap.add_argument("--granularity", default="stage",
+                    choices=["stage", "cost_reg"])
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
     if not args.parse_only:
-        run_trace(args.outdir, remat=not args.no_remat)
+        run_trace(args.outdir, remat=not args.no_remat,
+                  granularity=args.granularity)
     return parse_trace(args.outdir, args.top)
 
 
