@@ -130,7 +130,8 @@ def bench_train(jax, jnp):
     from mvsformerplusplus_tpu.train.step import TrainState, make_train_step
 
     batch = make_train_batch()
-    model = DINOv2MVSNet(dtype=jnp.bfloat16, remat_stages=True)
+    model = DINOv2MVSNet(dtype=jnp.bfloat16, remat_stages=True,
+                         remat_granularity="cost_reg")
     tx = make_optimizer(total_steps=10000, warmup_steps=500, freeze_vit=True)
 
     jb = jax.tree.map(jnp.asarray, batch)

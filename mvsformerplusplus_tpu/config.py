@@ -102,6 +102,10 @@ def build_model(cfg: Config, dtype=jnp.bfloat16, **extra):
         warp_mode=args.get("warp_mode", "auto"),
         fold_depth=args.get("fold_depth", "auto"),
         warp_gy=args.get("warp_gy", "auto"),
+        # 'cost_reg' = the reference's own checkpoint boundary; measured
+        # faster than whole-stage remat once the warp went matmul-bound
+        # (548 vs ~650 ms device time at the DTU MS train protocol)
+        remat_granularity=args.get("remat_granularity", "cost_reg"),
         dtype=dtype,
     )
     common.update(extra)

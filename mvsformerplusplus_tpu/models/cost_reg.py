@@ -251,8 +251,10 @@ class PureTransformerCostReg(nn.Module):
         if position3d is not None and self.position_encoding:
             if self.use_pe_proj:
                 pe = position_encoding_3d(position3d, self.base_channel)  # [B,D,H,W,3C]
-                pe = nn.Conv(self.base_channel, (1, 1, 1), use_bias=False,
-                             dtype=self.dtype, name="pe_proj")(pe.astype(self.dtype))
+                k, _ = _ConvKernel((1, 1, 1, pe.shape[-1], self.base_channel),
+                                   name="pe_proj")()
+                pe = jnp.einsum("bdhwc,co->bdhwo", pe.astype(self.dtype),
+                                k[0, 0, 0].astype(self.dtype))
             else:
                 pe = position_encoding_3d(position3d, c // 3).astype(self.dtype)
             x = x + pe
@@ -278,4 +280,9 @@ class PureTransformerCostReg(nn.Module):
         x = nn.ConvTranspose(self.base_channel, (rd, rh, rw), strides=(rd, rh, rw),
                              padding="VALID", dtype=self.dtype, name="up")(x)
         x = LayerNorm3D(dtype=self.dtype, name="up_norm")(x)
-        return nn.Conv(1, (1, 1, 1), dtype=self.dtype, name="prob")(x)
+        # 1x1x1 head as an einsum: the nn.Conv form measured 9.4 ms at
+        # 2 GB/s on the r3b eval trace (lane-padded C=8 volume layout)
+        k, bias = _ConvKernel((1, 1, 1, x.shape[-1], 1), use_bias=True,
+                              name="prob")()
+        y = jnp.einsum("bdhwc,co->bdhwo", x, k[0, 0, 0].astype(self.dtype))
+        return y + bias.astype(self.dtype)

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..ops.pe import sine_pe_2d
 from ..ops.resize import resize2d
 from .blocks import CrossBlock
+from .layers import MMConv
 
 Array = jax.Array
 
@@ -112,12 +113,15 @@ class FMTWithPathway(nn.Module):
             dtype=self.dtype,
         )
         bc = self.base_channel
-        self.dim_reduction_1 = nn.Conv(bc * 4, (1, 1), use_bias=False, dtype=self.dtype)
-        self.dim_reduction_2 = nn.Conv(bc * 2, (1, 1), use_bias=False, dtype=self.dtype)
-        self.dim_reduction_3 = nn.Conv(bc, (1, 1), use_bias=False, dtype=self.dtype)
-        self.smooth_1 = nn.Conv(bc * 4, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)
-        self.smooth_2 = nn.Conv(bc * 2, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)
-        self.smooth_3 = nn.Conv(bc, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)
+        # MMConv: the pathway's smooth convs run at 1/2 and 1/1 resolution
+        # with 8-16 channels where XLA's conv lowering moves ~6x the bytes
+        # (layers.conv2d_mm); same param tree as nn.Conv
+        self.dim_reduction_1 = MMConv(bc * 4, (1, 1), use_bias=False, dtype=self.dtype)
+        self.dim_reduction_2 = MMConv(bc * 2, (1, 1), use_bias=False, dtype=self.dtype)
+        self.dim_reduction_3 = MMConv(bc, (1, 1), use_bias=False, dtype=self.dtype)
+        self.smooth_1 = MMConv(bc * 4, (3, 3), use_bias=False, dtype=self.dtype)
+        self.smooth_2 = MMConv(bc * 2, (3, 3), use_bias=False, dtype=self.dtype)
+        self.smooth_3 = MMConv(bc, (3, 3), use_bias=False, dtype=self.dtype)
 
     def _upsample_add(self, x: Array, y: Array) -> Array:
         """Bilinear (half-pixel, matching F.interpolate default) + add

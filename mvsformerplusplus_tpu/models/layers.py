@@ -108,6 +108,14 @@ class ConvBnReLU(nn.Module):
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         ks = (self.kernel_size, self.kernel_size)
+        if self.stride == 1:
+            # shifted-matmul conv (see conv2d_mm): the visibility head runs
+            # at full volume resolution where XLA's conv lowering crawls
+            x = MMConv(self.features, ks, use_bias=False, dtype=self.dtype,
+                       name="Conv_0")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=jnp.float32)(x)
+            return nn.relu(x).astype(self.dtype)
         x = nn.Conv(
             self.features,
             ks,
@@ -162,6 +170,64 @@ class Conv3dBlock(nn.Module):
         if self.act:
             x = nn.relu(x)
         return x.astype(self.dtype)
+
+
+def conv2d_mm(x: Array, kernel: Array, bias: Optional[Array] = None,
+              padding: str = "torch") -> Array:
+    """k x k stride-1 'same' conv as ky*kx shifted matmuls (fp32 accumulate).
+
+    XLA's TPU conv lowering moves ~6x the necessary bytes on narrow-channel
+    high-resolution shapes (xprof-verified probe at [5,1152,1536]: 64->8
+    conv_general_dilated 24.8 ms @307 GB/s vs 17 ms @685 GB/s for this
+    formulation; for C_in=8 the 9 re-reads total ~2.5 GB -> ~3.6 ms vs 26).
+    Each tap is a dense [N, Ci]@[Ci, Co] dot the MXU executes at line rate;
+    the shifted operands are static slices XLA fuses into the dot reads.
+
+    kernel: [ky, kx, ci, co]; x: [B, H, W, ci]. Stride 1, symmetric torch
+    padding ((k-1)//2) — the only convention the swapped call sites use.
+    """
+    ky, kx, ci, co = kernel.shape
+    if ky == kx == 1:
+        out = jnp.einsum("bhwc,co->bhwo", x, kernel[0, 0],
+                         preferred_element_type=jnp.float32)
+        if bias is not None:
+            out = out + bias
+        return out.astype(x.dtype)
+    py, px = (ky - 1) // 2, (kx - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (py, py), (px, px), (0, 0)))
+    b, h, w, _ = x.shape
+    out = None
+    for dy in range(ky):
+        for dx in range(kx):
+            t = jax.lax.slice(
+                xp, (0, dy, dx, 0), (b, dy + h, dx + w, ci))
+            y = jnp.einsum("bhwc,co->bhwo", t, kernel[dy, dx],
+                           preferred_element_type=jnp.float32)
+            out = y if out is None else out + y
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+class MMConv(nn.Module):
+    """nn.Conv-compatible module (same param tree) routed through conv2d_mm.
+    Stride-1 'same' convs only; name it explicitly to preserve checkpoint
+    paths when swapping an nn.Conv call site."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        ci = x.shape[-1]
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (*self.kernel_size, ci, self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return conv2d_mm(x.astype(self.dtype), k.astype(self.dtype),
+                         None if b is None else b.astype(self.dtype))
 
 
 class _ConvKernel(nn.Module):
@@ -325,8 +391,19 @@ class FPNDecoder(nn.Module):
         c0, c1, c2, c3 = self.feat_chs
         final_ch = c3
 
+        # MMConv everywhere (named to keep nn.Conv's auto checkpoint paths
+        # Conv_0..Conv_6, heads and laterals interleaved): XLA's conv moves
+        # ~6x the bytes on these narrow-channel full-res shapes
+        conv_idx = [0]
+
+        def mmconv(x, features, kernel):
+            m = MMConv(features, (kernel, kernel), dtype=self.dtype,
+                       name=f"Conv_{conv_idx[0]}")
+            conv_idx[0] += 1
+            return m(x)
+
         def head(x, features, kernel):
-            x = nn.Conv(features, (kernel, kernel), padding="SAME", dtype=self.dtype)(x)
+            x = mmconv(x, features, kernel)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32)(x)
             return (x * nn.sigmoid(x)).astype(self.dtype)  # Swish
@@ -344,7 +421,7 @@ class FPNDecoder(nn.Module):
             # fp32 add materialized ~14 GB of converts on the full-res
             # 64-channel intermediate, ~25 ms/map).
             up = resize2d(x, h, w, method="linear", align_corners=True)
-            lat = nn.Conv(final_ch, (1, 1), dtype=self.dtype)(lateral)
+            lat = mmconv(lateral, final_ch, 1)
             return up.astype(self.dtype) + lat.astype(self.dtype)
 
         intra = up_add(intra, conv21, c2)

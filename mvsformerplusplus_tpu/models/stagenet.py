@@ -32,6 +32,7 @@ from ..ops.grid_sample import (
     homography_warp_ygrouped,
 )
 from ..ops.sampling import conf_regression, depth_regression
+from .layers import MMConv
 from .cost_reg import CostRegNet, CostRegNet3D, PureTransformerCostReg
 from .layers import ConvBnReLU
 
@@ -50,7 +51,7 @@ class VisibilityNet(nn.Module):
         x = ConvBnReLU(16, dtype=self.dtype)(entropy.astype(self.dtype), train)
         x = ConvBnReLU(16, dtype=self.dtype)(x, train)
         x = ConvBnReLU(8, dtype=self.dtype)(x, train)
-        x = nn.Conv(1, (1, 1), dtype=self.dtype)(x)
+        x = MMConv(1, (1, 1), dtype=self.dtype, name="Conv_0")(x)
         return nn.sigmoid(x.astype(jnp.float32))
 
 

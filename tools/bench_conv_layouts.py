@@ -99,6 +99,30 @@ def main():
 
     bench("CostRegNet3D fwd+bwd", lambda vv, xx: jax.grad(loss)(vv, xx),
           v, x_ndhwc, iters=3)
+
+    # ---- the r3b eval-profile 2D offenders, standalone with clean layouts
+    # (in-context they measured 30/26 ms at 25-48 GB/s) ----
+    def conv2d(x, k, s=1):
+        return jax.lax.conv_general_dilated(
+            x, k, (s, s), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    x64 = jnp.asarray(rng.rand(5, 1152, 1536, 64).astype(np.float32), DT)
+    k648 = jnp.asarray(rng.rand(3, 3, 64, 8).astype(np.float32), DT)
+    bench("decoder Conv_6 standalone [5,1152,1536,64]->8", conv2d, x64, k648)
+
+    x8 = jnp.asarray(rng.rand(5, 1152, 1536, 8).astype(np.float32), DT)
+    k88 = jnp.asarray(rng.rand(3, 3, 8, 8).astype(np.float32), DT)
+    bench("fmt smooth_3 standalone [5,1152,1536,8]->8", conv2d, x8, k88)
+
+    # W-folded equivalent shapes (16 pixels into channels, 3-tap kernel)
+    x8f = jnp.asarray(rng.rand(5, 1152, 96, 128).astype(np.float32), DT)
+    k8f = jnp.asarray(rng.rand(3, 3, 128, 128).astype(np.float32), DT)
+    bench("fmt smooth_3 W-folded shape [5,1152,96,128]->128",
+          conv2d, x8f, k8f)
+    x64f = jnp.asarray(rng.rand(5, 1152, 384, 256).astype(np.float32), DT)
+    k64f = jnp.asarray(rng.rand(3, 3, 256, 32).astype(np.float32), DT)
+    bench("decoder Conv_6 W-folded(4) shape [5,1152,384,256]->32",
+          conv2d, x64f, k64f)
     print("DONE", flush=True)
     return 0
 
