@@ -61,7 +61,10 @@ def ce_depth_loss(prob_volume_pre: Array, depth_values: Array, depth_gt: Array,
         gt_index = ndepth - 1 - gt_index
 
     log_probs = jax.nn.log_softmax(logits, axis=1)
-    nll = -jnp.take_along_axis(log_probs, gt_index[:, None], axis=1)[:, 0]
+    # one-hot select (ops/sampling.select_along_d rationale): take_along_axis
+    # over the non-minor D axis gathers at ~5 GB/s on TPU
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, ndepth, 1, 1), 1)
+    nll = -jnp.sum(jnp.where(iota == gt_index[:, None], log_probs, 0), axis=1)
     return _masked_mean(nll, final_mask)
 
 

@@ -31,7 +31,8 @@ from ..ops.grid_sample import (
     homography_warp_xgrouped,
     homography_warp_ygrouped,
 )
-from ..ops.sampling import conf_regression, depth_regression
+from ..ops.sampling import (conf_regression, depth_regression,
+                            select_along_d)
 from .layers import MMConv
 from .cost_reg import CostRegNet, CostRegNet3D, PureTransformerCostReg
 from .layers import ConvBnReLU
@@ -387,7 +388,10 @@ class StageNet(nn.Module):
         if self.depth_type == "ce":
             if train:
                 idx = jnp.argmax(prob_volume, axis=1)  # [B, H, W]
-                depth = jnp.take_along_axis(depth_values, idx[:, None], axis=1)[:, 0]
+                dv4 = (depth_values if depth_values.ndim == 4
+                       else depth_values[:, :, None, None])
+                depth = select_along_d(
+                    jnp.broadcast_to(dv4, prob_volume.shape), idx)
             else:
                 depth = depth_regression(
                     jax.nn.softmax(prob_pre * tmp, axis=1), depth_values

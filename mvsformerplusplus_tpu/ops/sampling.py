@@ -112,6 +112,17 @@ def schedule_range(
                           method="linear", align_corners=True)
 
 
+def select_along_d(x: Array, idx: Array) -> Array:
+    """x [B, D, H, W] gathered at idx [B, H, W] over the D axis, as a
+    one-hot multiply-reduce. take_along_axis over a small non-minor axis
+    lowers to a gather running at 1-7 GB/s on TPU (r3 train profile: 22 ms
+    across the depth/CE-loss selections); the masked sum reads x once at
+    full bandwidth and fuses with its producer."""
+    d = x.shape[1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, d, 1, 1), 1)
+    return jnp.sum(jnp.where(iota == idx[:, None], x, 0), axis=1)
+
+
 def depth_regression(prob: Array, depth_values: Array) -> Array:
     """Soft-argmax depth: sum_d p(d) · depth(d).
 
@@ -144,4 +155,4 @@ def conf_regression(prob: Array, n: int = 4) -> Array:
     win = csum[:, n:] - csum[:, :-n]  # [B, D, H, W]
     idx = depth_regression(prob, jnp.broadcast_to(jnp.arange(d, dtype=jnp.float32)[None], (b, d)))
     idx = jnp.clip(idx.astype(jnp.int32), 0, d - 1)  # [B, H, W]
-    return jnp.take_along_axis(win, idx[:, None], axis=1)[:, 0]
+    return select_along_d(win, idx)

@@ -125,7 +125,7 @@ def test_e2e_protocol(tmp_path):
     out = subprocess.run(
         [sys.executable, str(REPO / "train.py"), "-c",
          str(tmp_path / "cfg.json"), "--save_dir", str(tmp_path / "saved")],
-        capture_output=True, text=True, env=env, timeout=2400, cwd=str(REPO))
+        capture_output=True, text=True, env=env, timeout=4800, cwd=str(REPO))
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-3000:])
 
     (tmp_path / "list.txt").write_text("scan1\n")
@@ -140,7 +140,7 @@ def test_e2e_protocol(tmp_path):
          "--num_view", "5", "--numdepth", "48",
          "--max_h", str(H), "--max_w", str(W),
          "--filter_method", "pcd", "--conf", "0.3", "--fusion_view", "5"],
-        capture_output=True, text=True, env=env, timeout=2400, cwd=str(REPO))
+        capture_output=True, text=True, env=env, timeout=4800, cwd=str(REPO))
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-3000:])
 
     # -- depth metrics vs analytic GT --------------------------------------
