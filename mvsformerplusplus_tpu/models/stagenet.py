@@ -93,18 +93,19 @@ class StageNet(nn.Module):
     shard_views: bool = False
     shard_depth: bool = False
     # warp_mode picks the plane-sweep sampler (ops/grid_sample.py):
-    #   'pallas': the x-grouped gather with the blend as the layout-pinned
-    #     TPU kernel (ops/pallas/warp_blend.py) — the production TPU path;
-    #   'xgrouped': same gather, blend accumulated in XLA — valid for EVERY
-    #     stage (the group spans output pixels whose epipolar footprint is
-    #     locally bounded, not hypotheses), 8x fewer gather indices than
-    #     'folded'; parity-tested but lane-padded 16x by XLA layout
-    #     assignment at stage-4 DTU eval scale, so not the default;
+    #   'banded': band DMA + exact one-hot MXU matmuls
+    #     (ops/pallas/warp_band.py) — the production TPU path (fastest at
+    #     every stage of the DTU eval ablation, r3);
+    #   'pallas': y-grouped patch gather + the layout-pinned blend kernel
+    #     (ops/pallas/warp_blend.py) — the r2 production path, kept as the
+    #     measured fallback;
+    #   'xgrouped': same gather, blend accumulated in XLA — exact but
+    #     lane-padded 16x by layout assignment at stage-4 eval scale;
     #   'grouped': one patch per pixel for the whole hypothesis band — only
     #     sound for re-centered fine stages (ndepth <= grouped_warp_th, never
     #     the full-range first stage);
     #   'folded': folded-channel single gather per sample (the exact
-    #     reference-semantics baseline path).
+    #     reference-semantics baseline path; the off-TPU default).
     warp_mode: str = "folded"
     grouped_warp_th: int = 8
     grouped_warp_kx: int = 16
