@@ -208,11 +208,14 @@ class StageNet(nn.Module):
                                   or self.full_range):
             mode = "folded"  # depth-grouping unsound for full-range sweeps
         if mode == "banded" and (c % 8 != 0 or h % self.xgrouped_gx != 0
-                                 or h < 2 * self.xgrouped_gx):
+                                 or h < 2 * self.xgrouped_gx
+                                 or self.shard_views or self.shard_depth):
             # the band kernel slices [ky*C] sublanes in C-steps (C%8) and
             # groups H rows; unlike 'pallas' it has NO W or C constraints
-            # (the x-selection is a matmul over the full width)
-            mode = "folded"
+            # (the x-selection is a matmul over the full width). Under cv
+            # sharding it demotes to the gather paths until the pallas_call
+            # is validated under vmap/SPMD partitioning.
+            mode = "pallas"
         if mode == "pallas" and (c % 8 != 0 or h % self.xgrouped_gx != 0
                                  or w % 128 != 0 or c > self.pallas_max_c):
             # kernel slices cells on f32 sublanes (C%8), groups H rows (H%gy),
@@ -247,7 +250,7 @@ class StageNet(nn.Module):
                             and not self.shard_depth
                             and self.ndepth <= self.grouped_warp_th
                             and h >= self.fold_ky)
-                    warped_t, _ = homography_warp_banded(
+                    warped_cm, _ = homography_warp_banded(
                         src_feat_b, src_proj_b, ref_proj, depth_values,
                         gy=self.xgrouped_gx,
                         ky=(self.fold_ky if fold
@@ -255,7 +258,21 @@ class StageNet(nn.Module):
                                      2 * self.xgrouped_gx)),
                         fold_depth=fold,
                         band_budget=self.warp_patch_budget,
-                    )  # [B, D, C, N]
+                    )  # C-MAJOR [C, B, D, N] — the kernel's native layout
+                    # C-major correlation: consumes the warp output with no
+                    # relayout ([C, B*D*N] -> [B, D, C, N] transposes cost
+                    # ~7 ms/stage on the r3b eval trace)
+                    ref_cm = jnp.transpose(
+                        ref_feat.reshape(b, h * w, c), (2, 0, 1))  # [C,B,N]
+                    prod = warped_cm * ref_cm[:, :, None]  # [C, B, D, N]
+                    corr_cm = jnp.mean(
+                        prod.reshape(self.groups, sub, b, d, h * w), axis=1
+                    ) if sub > 1 else prod  # [G, B, D, N]
+                    sim = jax.lax.stop_gradient(
+                        jnp.sum(corr_cm, axis=0))  # [B, D, N]
+                    p = jax.nn.softmax(sim, axis=1)
+                    entropy_flat = -jnp.sum(p * jnp.log(p + 1e-7), axis=1)
+                    return corr_cm, entropy_flat
                 elif mode == "pallas":
                     # fold shares one patch across the depth band: off for
                     # full-range sweeps (unsound) and under D-sharding (the
@@ -332,6 +349,21 @@ class StageNet(nn.Module):
             entropy = jnp.stack([p[1] for p in pairs])
 
         dspec = P(None, None, "cv") if self.shard_depth else None
+
+        if grouped and mode == "banded":
+            # C-major pipeline end-to-end: corr [V-1, G, B, D, N];
+            # entropy [V-1, B, N]. No sharding constraints — banded demotes
+            # under cv sharding (gate above).
+            vis = self.vis(entropy.reshape(nsrc * b, h, w, 1), train)
+            vis_cm = vis.reshape(nsrc, 1, b, 1, h * w)  # [V-1, 1, B, 1, N]
+            volume_sum = jnp.sum(corr * vis_cm, axis=0)  # [G, B, D, N]
+            vis_sum = jnp.sum(vis_cm, axis=0)            # [1, B, 1, N]
+            volume_t = volume_sum / (vis_sum + 1e-6)
+            # single conv-layout transpose of the finished volume (barrier:
+            # see the N-minor branch below)
+            volume_t = jax.lax.optimization_barrier(volume_t)
+            vol = volume_t.reshape(self.groups, b, d, h, w)
+            return jnp.transpose(vol, (1, 2, 3, 4, 0))   # [B, D, H, W, G]
 
         if grouped:
             # corr: [V-1, B, D, G, N]; entropy: [V-1, B, N]

@@ -876,8 +876,10 @@ def _banded_chunk_fwd(img_f, coords_c, b, h, w, c, gy, ky, fold_depth):
     bands = bands.reshape(-1, ky * c, w)
     out = banded_warp_rows(bands, x_r, dyr_r, fy_r, c, gy, ky, w,
                            d_shared=d_shared, hg=hg)  # [C, NBROWS, gy, W]
-    out = out.reshape(c, b, dc, h * w)
-    return jnp.transpose(out, (1, 2, 0, 3))  # [B, Dc, C, N]
+    # C-MAJOR return: the kernel's natural output layout, consumed as-is by
+    # StageNet's C-major correlation — the [C, B*D*N] -> [B, D, C, N]
+    # transpose this replaced cost ~7 ms/stage on the r3b eval trace
+    return out.reshape(c, b, dc, h * w)  # [C, B, Dc, N]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -914,8 +916,8 @@ def _banded_impl(img, coords, gy, ky, fold_depth, band_budget):
         coords.reshape(b, d // dc, dc, h, w, 2), 1, 0)
     out = jax.lax.map(
         lambda cc: _banded_chunk_fwd(img_f, cc, b, h, w, c, gy, ky, False),
-        chunks)  # [nc, B, dc, C, N]
-    return jnp.moveaxis(out, 0, 1).reshape(b, d, c, h * w)
+        chunks)  # [nc, C, B, dc, N]
+    return jnp.moveaxis(out, 0, 2).reshape(c, b, d, h * w)
 
 
 def _banded_stopgrad_fwd(img, coords, gy, ky, fold_depth, band_budget):
@@ -934,8 +936,8 @@ def _banded_stopgrad_bwd(gy, ky, fold_depth, band_budget, res, ct):
     # train-protocol sizes stay modest (<= ~0.7 GB/stage at 512x640)
     x_r, dyr_r, fy_r, starts, d_shared, hg = _banded_prep(
         coords, b, h, w, gy, ky, fold_depth)
-    g = jnp.transpose(ct.astype(jnp.float32), (2, 0, 1, 3))  # [C,B,D,N]
-    g = g.reshape(c, b * d * hg, gy, w)
+    # ct arrives C-major [C, B, D, N] — the kernel's own output layout
+    g = ct.astype(jnp.float32).reshape(c, b * d * hg, gy, w)
     dbands = banded_warp_rows_bwd(
         g, x_r, dyr_r, fy_r, c, gy, ky, w, d_shared=d_shared, hg=hg)
     nb = starts.shape[1]
@@ -962,12 +964,14 @@ def bilinear_sample_banded(img: Array, coords: Array, gy: int = 8,
     callers raise ky) band across all D hypotheses — re-centered fine-stage
     bands only.
 
-    Returns [B, D, C, H*W] fp32 (N-minor), like the other grouped samplers.
+    Returns C-MAJOR [C, B, D, H*W] fp32 — the kernel's natural layout,
+    consumed directly by StageNet's C-major correlation (unlike the other
+    grouped samplers' [B, D, C, N]).
     """
     if coord_grad:
         b, d, h, w = coords.shape[:4]
         warped = bilinear_sample(img, coords)
-        return jnp.moveaxis(warped, -1, 2).reshape(b, d, -1, h * w)
+        return jnp.moveaxis(warped, -1, 0).reshape(-1, b, d, h * w)
     return _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget)
 
 

@@ -482,7 +482,8 @@ def test_banded_warp_matches_plain_full_range():
     from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_banded
 
     got, _ = homography_warp_banded(feat, src_proj, ref_proj, dv, ky=16)
-    got = np.asarray(got).reshape(b, d, c, h, w).transpose(0, 1, 3, 4, 2)
+    # C-major contract: [C, B, D, N]
+    got = np.asarray(got).reshape(c, b, d, h, w).transpose(1, 2, 3, 4, 0)
     ref, _ = homography_warp(feat, src_proj, ref_proj, dv)
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
 
@@ -507,7 +508,7 @@ def test_banded_warp_fold_and_chunk_match_plain():
     from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_banded
 
     ref, _ = homography_warp(feat, src_proj, ref_proj, dv)
-    ref_t = np.moveaxis(np.asarray(ref), -1, 2).reshape(b, d, c, h * w)
+    ref_t = np.moveaxis(np.asarray(ref), -1, 0).reshape(c, b, d, h * w)
 
     got, _ = homography_warp_banded(
         feat, src_proj, ref_proj, dv, ky=24, fold_depth=True)
@@ -522,7 +523,7 @@ def test_banded_warp_fold_and_chunk_match_plain():
     fb = jnp.asarray(feat, jnp.bfloat16)
     got16, _ = homography_warp_banded(fb, src_proj, ref_proj, dv, ky=16)
     ref16, _ = homography_warp(fb, src_proj, ref_proj, dv)
-    ref16_t = jnp.moveaxis(ref16, -1, 2).reshape(b, d, c, h * w)
+    ref16_t = jnp.moveaxis(ref16, -1, 0).reshape(c, b, d, h * w)
     np.testing.assert_allclose(np.asarray(got16), np.asarray(ref16_t),
                                rtol=1e-6, atol=1e-6)
 
@@ -541,7 +542,7 @@ def test_banded_warp_grad_matches_plain():
     ref_proj = jnp.asarray(compose(ref_intr, ref_ext)[None])
     src_proj = jnp.asarray(compose(src_intr, src_ext)[None])
     dv = jnp.asarray(np.linspace(3.0, 5.0, d, dtype=np.float32)[None])
-    g = jnp.asarray(rng.randn(b, d, c, h * w).astype(np.float32))
+    g = jnp.asarray(rng.randn(c, b, d, h * w).astype(np.float32))
 
     from mvsformerplusplus_tpu.ops.grid_sample import (
         homography_warp,
@@ -550,7 +551,7 @@ def test_banded_warp_grad_matches_plain():
 
     def loss_plain(x):
         warped, _ = homography_warp(x, src_proj, ref_proj, dv)
-        return jnp.sum(jnp.moveaxis(warped, -1, 2).reshape(b, d, c, h * w) * g)
+        return jnp.sum(jnp.moveaxis(warped, -1, 0).reshape(c, b, d, h * w) * g)
 
     gr = jax.grad(loss_plain)(jnp.asarray(feat))
 
@@ -574,7 +575,7 @@ def test_banded_warp_grad_matches_plain():
 
     def loss_plain_band(x):
         warped, _ = homography_warp(x, src_proj, ref_proj, base)
-        return jnp.sum(jnp.moveaxis(warped, -1, 2).reshape(b, d, c, h * w) * g)
+        return jnp.sum(jnp.moveaxis(warped, -1, 0).reshape(c, b, d, h * w) * g)
 
     gf = jax.grad(loss_fold)(jnp.asarray(feat))
     grf = jax.grad(loss_plain_band)(jnp.asarray(feat))
