@@ -128,7 +128,10 @@ def main():
                     "early_stop": 100},
     }
     (root / "cfg.json").write_text(json.dumps(cfg))
-    env = dict(os.environ, PYTHONPATH=str(REPO))
+    # APPEND to PYTHONPATH: replacing it drops the axon sitecustomize dir
+    # that registers the TPU-relay plugin ("Backend 'axon' is not known")
+    env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        [str(REPO), os.environ.get("PYTHONPATH", "")]))
 
     t0 = time.time()
     if not args.skip_train:
