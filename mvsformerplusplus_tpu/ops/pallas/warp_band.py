@@ -82,23 +82,28 @@ def _fwd_kernel(band_ref, x_ref, dyr_ref, fy_ref, out_ref,
     fy = fy_ref[0]
     bx = x.shape[-1]
 
+    x0 = jnp.floor(x)
+    fx_all = x - x0
+    x0i_all = x0.astype(jnp.int32)
+    # window + iota hoisted out of the row loop: one VMEM band slice and one
+    # iota per PROGRAM (the gy rows' source columns are near-identical, so a
+    # shared 128-aligned window covers them with the same escape class)
+    if bu < w:
+        cu0 = _row_window(x0i_all, w, bu)
+        bandw = band_ref[0, :, pl.ds(cu0, bu)]       # [ky*C, BU]
+        x0i_all = x0i_all - cu0
+    else:
+        bandw = band_ref[0]
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (bu, bx), 0)
+
     rows = []
     for r in range(gy):
-        xr = x[r:r + 1]                     # [1, BX]
-        x0 = jnp.floor(xr)
-        fx = xr - x0
-        x0i = x0.astype(jnp.int32)
-        if bu < w:
-            cu0 = _row_window(x0i, w, bu)
-            bandw = band_ref[0, :, pl.ds(cu0, bu)]   # [ky*C, BU]
-            x0i = x0i - cu0
-        else:
-            bandw = band_ref[0]
-        iota_u = jax.lax.broadcasted_iota(jnp.int32, (bu, bx), 0)
-        a0 = (iota_u == x0i).astype(bandw.dtype)     # exact 0/1 in bf16
-        a1 = (iota_u == (x0i + 1)).astype(bandw.dtype)
+        diff = iota_u - x0i_all[r:r + 1]
+        a0 = (diff == 0).astype(bandw.dtype)         # exact 0/1 in bf16
+        a1 = (diff == 1).astype(bandw.dtype)
         rv0 = jax.lax.dot(bandw, a0, preferred_element_type=jnp.float32)
         rv1 = jax.lax.dot(bandw, a1, preferred_element_type=jnp.float32)
+        fx = fx_all[r:r + 1]
         rv = rv0 * (1.0 - fx) + rv1 * fx             # [ky*C, BX] f32
 
         dyr_r = dyr[r:r + 1]

@@ -72,9 +72,16 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
                PYTHONPATH=str(REPO))
     out = subprocess.run(
         [sys.executable, str(REPO / "train.py"), "-c", str(cfg_path),
-         "--save_dir", str(tmp_path / "saved")],
+         "--debug", "--save_dir", str(tmp_path / "saved")],
         capture_output=True, text=True, env=env, timeout=900, cwd=str(REPO))
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-3000:])
+    # image panels written at logging_every (reference utils.py:103-123):
+    # train panels from the step logs + one val panel per validation
+    pngs = list((tmp_path / "saved" / "images").glob("*.png"))
+    assert any(p.name.startswith("train_") for p in pngs), pngs
+    assert any(p.name.startswith("val_") for p in pngs), pngs
+    # --debug: per-module grad norms logged (reference trainer:151-168)
+    assert "per-module gnorm" in (out.stderr + out.stdout)
     # checkpoints written
     ckpt_dir = tmp_path / "saved" / "checkpoints"
     assert (ckpt_dir / "meta.json").exists(), list((tmp_path / "saved").rglob("*"))
