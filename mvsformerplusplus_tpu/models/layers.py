@@ -227,15 +227,16 @@ class MMConv(nn.Module):
                        (*ks, ci, self.features))
         b = (self.param("bias", nn.initializers.zeros, (self.features,))
              if self.use_bias else None)
-        if ci > 32 and max(ks) > 1:
-            # wide-input k x k: the shifted operands stop fusing into the
-            # dots and materialize (measured: 64->8 full-res = 28.6 ms of
-            # slices + 19 of dots vs nn.Conv's 30 total) — keep XLA's conv
-            return jax.lax.conv_general_dilated(
-                x.astype(self.dtype), k.astype(self.dtype), (1, 1),
-                sym_pad(ks),
-                dimension_numbers=("NHWC", "HWIO", "NHWC")) + (
-                0 if b is None else b.astype(self.dtype))
+        if (ks == (3, 3) and x.shape[1] % 8 == 0
+                and jax.default_backend() in ("tpu", "axon")):
+            # Pallas fused conv: ONE input read + 9 shifted MXU dots
+            # (ops/pallas/conv2d.py) — XLA's conv moves ~6x the bytes and
+            # the XLA shifted-matmul form re-reads the input 9x (the
+            # shifted operands materialize; 47.6 ms on the 64-ch head)
+            from ..ops.pallas.conv2d import conv3x3_p
+
+            y = conv3x3_p(x.astype(self.dtype), k.astype(self.dtype))
+            return y if b is None else y + b.astype(self.dtype)
         return conv2d_mm(x.astype(self.dtype), k.astype(self.dtype),
                          None if b is None else b.astype(self.dtype))
 

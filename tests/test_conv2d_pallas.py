@@ -1,0 +1,64 @@
+"""Pallas fused 3x3 conv == XLA conv (torch 'same' zero padding), fwd + VJP.
+
+ops/pallas/conv2d.py replaces the narrow-channel full-res convs XLA lowers
+badly (the decoder/visibility heads); these tests pin bit-level forward
+parity (interpret mode) and gradient parity against lax.conv.
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from mvsformerplusplus_tpu.ops.pallas.conv2d import conv3x3_p  # noqa: E402
+
+
+def _ref_conv(x, k):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@pytest.mark.parametrize("ci,co,h,w", [(8, 8, 16, 128), (64, 8, 24, 256),
+                                       (16, 16, 32, 128), (1, 16, 16, 128)])
+def test_conv3x3_matches_xla(ci, co, h, w):
+    rng = np.random.RandomState(ci + co)
+    x = jnp.asarray(rng.randn(2, h, w, ci).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32) * 0.1)
+    got = jax.jit(conv3x3_p)(x, k)
+    ref = jax.jit(_ref_conv)(x, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_grads_match_xla():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 128, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.randn(2, 16, 128, 16).astype(np.float32))
+
+    def loss_p(x, k):
+        return jnp.sum(conv3x3_p(x, k) * g)
+
+    def loss_r(x, k):
+        return jnp.sum(_ref_conv(x, k) * g)
+
+    gx_p, gk_p = jax.jit(jax.grad(loss_p, argnums=(0, 1)))(x, k)
+    gx_r, gk_r = jax.jit(jax.grad(loss_r, argnums=(0, 1)))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_bf16_edge_rows():
+    """bf16 + an H that forces multi-block grids with edge clamping."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 64, 128, 8).astype(np.float32), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(3, 3, 8, 8).astype(np.float32) * 0.1,
+                    jnp.bfloat16)
+    got = jax.jit(conv3x3_p)(x, k)
+    ref = jax.jit(_ref_conv)(x, k)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
