@@ -227,8 +227,12 @@ class MMConv(nn.Module):
                        (*ks, ci, self.features))
         b = (self.param("bias", nn.initializers.zeros, (self.features,))
              if self.use_bias else None)
-        if (ks == (3, 3) and x.shape[1] % 8 == 0
-                and jax.default_backend() in ("tpu", "axon")):
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        # kernel viability: its minimum (8-row) input block must fit the
+        # ~1MB VMEM budget (the kernel holds ~12 block-sized buffers)
+        pallas_ok = (ks == (3, 3) and x.shape[1] % 8 == 0 and ci >= 8
+                     and 8 * x.shape[2] * ci * 2 <= (1 << 20))
+        if on_tpu and pallas_ok:
             # Pallas fused conv: ONE input read + 9 shifted MXU dots
             # (ops/pallas/conv2d.py) — XLA's conv moves ~6x the bytes and
             # the XLA shifted-matmul form re-reads the input 9x (the
@@ -237,6 +241,15 @@ class MMConv(nn.Module):
 
             y = conv3x3_p(x.astype(self.dtype), k.astype(self.dtype))
             return y if b is None else y + b.astype(self.dtype)
+        if ci > 32 and max(ks) > 1:
+            # wide-channel full-width rows (the 64-ch decoder head at eval
+            # scale): the shifted operands materialize as 9 full copies —
+            # XLA's conv is the lesser evil here
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k.astype(self.dtype), (1, 1),
+                sym_pad(ks),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) + (
+                0 if b is None else b.astype(self.dtype))
         return conv2d_mm(x.astype(self.dtype), k.astype(self.dtype),
                          None if b is None else b.astype(self.dtype))
 

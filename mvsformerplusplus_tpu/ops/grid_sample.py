@@ -312,6 +312,29 @@ def fold_escape_fraction(coords, h: int, w: int, gy: int = 8, ky: int = 24,
     return float((inimg & ~ok).mean())
 
 
+def banded_escape_fraction(coords, h: int, w: int, gy: int = 8,
+                           ky: int = 16, fold: bool = False) -> float:
+    """Diagnostic for the banded warp's y-window: fraction of IN-IMAGE
+    corner samples whose row falls outside the shared [ky] band (those
+    blend to zero — the out-of-FOV class). The banded anchor spans a WHOLE
+    output row-group (min over gy rows x all W columns[, x D when folded]),
+    so it is more exposed to cross-row v-drift than the per-pixel-group
+    ygrouped anchors — validate on a new dataset's cams before relying on
+    warp_mode='banded' there (tests/test_fold_window.py pins DTU). Pure
+    numpy; coords [B, D, H, W, 2] pixel units."""
+    import numpy as np
+
+    d = coords.shape[1]
+    c = np.asarray(coords).reshape(-1, d, h // gy, gy, w, 2)
+    y0 = np.floor(c[..., 1])
+    axes = (1, 3, 4) if fold else (3, 4)
+    ay = np.clip(np.min(np.clip(y0, -1, h - 1), axis=axes, keepdims=True),
+                 0, h - ky)
+    ok = y0 <= ay + ky - 2
+    inimg = (y0 >= -1) & (y0 <= h - 1)
+    return float((inimg & ~ok).mean())
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _gather_patches(augx: Array, starts: Array, ky: int, wxc: int) -> Array:
     """Full-minor 2D-slice patch gather with a scatter-safe VJP.

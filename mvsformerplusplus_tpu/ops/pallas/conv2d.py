@@ -1,23 +1,29 @@
-"""Pallas 3x3 stride-1 conv: one input read + 9 shifted MXU dots.
+"""Pallas 3x3 stride-1 conv: one input read + shifted MXU dots, W-folded.
 
 XLA's TPU conv lowering moves ~6x the necessary bytes on the narrow-channel
 high-resolution convs this model is full of (xprof: 64->8 @ [5,1152,1536] =
 24.8 ms at 307 GB/s; the decoder head alone is 30 ms/map), and the
 shifted-matmul formulation (layers.conv2d_mm) re-reads the input k*k times
-because XLA materializes the shifted operands (measured 47.6 ms on the
-64-channel head). This kernel reads each input block ONCE:
+because XLA materializes the shifted operands. This kernel reads each input
+block ONCE, and — the part that makes it VMEM-viable — folds W-pixels into
+channels first so every VMEM buffer has >= 128 lanes:
 
-- grid (B, H/BH); the 3x3 halo comes from two extra 8-row input specs whose
-  index maps point at the neighboring row-blocks (clamped at the image
-  edges and masked to zero there — torch 'same' zero padding);
-- inside, the x-axis is zero-padded in VMEM and the 9 taps are static
-  slices feeding [BH*W, Ci] @ [Ci, Co] dots with fp32 accumulation — the
-  same contraction XLA's conv performs, minus the data movement.
+- channels-last blocks with C=8-16 pad the (8/16, 128) tile up to 16x
+  inside the kernel too: the un-folded version of this kernel blew the 16MB
+  scoped-vmem limit (24MB at [5,1152,1536,16]). Folding F = 128/C W-pixels
+  into channels is a FREE reshape of a channels-last array, and a 3-tap
+  conv stays a 3-tap conv in folded space (taps {-1,0,1} blocks) with a
+  block-structured kernel built by fold_w_kernel — exact, zero extra FLOPs.
+- grid (B, H/BH); the y-halo comes from two extra 8-row input specs with
+  clamped index maps (edge rows masked to zero = torch 'same' zero pad);
+  the x-halo is a zeroed folded column (only its last pixel is ever
+  referenced by the fold indicator, matching the 1-pixel true pad).
+- the 9 folded taps are static VMEM slices feeding
+  [BH*W', F*Ci] @ [F*Ci, F*Co] dots with fp32 accumulation.
 
-Forward-only from autodiff's perspective is not enough here (the decoder
-and visibility heads train), so conv3x3_p carries a custom VJP: dL/dx is
-the same kernel run with the spatially-flipped, ci/co-swapped kernel (the
-exact transpose of stride-1 'same' conv), and dL/dK is a 9-tap einsum.
+conv3x3_p carries a custom VJP (the decoder/visibility heads train): dL/dx
+is the same kernel with the spatially-flipped, ci/co-swapped kernel; dL/dK
+is a 9-tap einsum.
 """
 from __future__ import annotations
 
@@ -34,61 +40,98 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-def _kernel(top_ref, mid_ref, bot_ref, k_ref, out_ref, *, bh: int, w: int,
-            ci: int, co: int, nblocks: int):
+def fold_w_kernel(k: Array, f: int) -> Array:
+    """[3, 3, ci, co] -> [3, 3, f*ci, f*co]: the exact 3x3 conv on the
+    W-folded layout ([B, H, W/f, f*C]). Output fold-position b at folded
+    column X reads input pixel X*f + b + dx - 1 = folded (X + o, a) with
+    o in {-1, 0, 1}; same FLOPs (the indicator is 0/1)."""
+    kx, ci, co = k.shape[1], k.shape[2], k.shape[3]
+    a = jnp.arange(f)[None, :, None, None]
+    bpos = jnp.arange(f)[None, None, :, None]
+    dx = jnp.arange(kx)[:, None, None, None]
+    o = jnp.arange(3)[None, None, None, :] - 1
+    i = bpos + dx - (kx - 1) // 2
+    m = (a == i - o * f).astype(k.dtype)         # [kx, f(a), f(b), 3(o)]
+    w2 = jnp.einsum("yxio,xabq->yqaibo", k, m)
+    return w2.reshape(3, 3, f * ci, f * co)
+
+
+def _kernel(top_ref, mid_ref, bot_ref, k_ref, out_ref, *, bh: int, wf: int,
+            cif: int, cof: int, nblocks: int):
     i = pl.program_id(1)
-    top = top_ref[0, -1:]                    # [1, W, Ci]
+    top = top_ref[0, -1:]                    # [1, W', Ci']
     bot = bot_ref[0, :1]
-    mid = mid_ref[0]                         # [BH, W, Ci]
+    mid = mid_ref[0]                         # [BH, W', Ci']
     zero = jnp.zeros((), mid.dtype)
     top = jnp.where(i == 0, zero, top)
     bot = jnp.where(i == nblocks - 1, zero, bot)
-    xb = jnp.concatenate([top, mid, bot], axis=0)    # [BH+2, W, Ci]
-    zcol = jnp.zeros((bh + 2, 1, ci), mid.dtype)
-    xp = jnp.concatenate([zcol, xb, zcol], axis=1)   # [BH+2, W+2, Ci]
+    xb = jnp.concatenate([top, mid, bot], axis=0)    # [BH+2, W', Ci']
+    zcol = jnp.zeros((bh + 2, 1, cif), mid.dtype)
+    xp = jnp.concatenate([zcol, xb, zcol], axis=1)   # [BH+2, W'+2, Ci']
 
-    k = k_ref[:]                              # [3, 3, Ci, Co]
-    acc = jnp.zeros((bh * w, co), jnp.float32)
+    k = k_ref[:]                              # [3, 3, Ci', Co']
+    # rank-3 dots (no [BH*W', Ci'] flatten): the flattened tap slices each
+    # materialized a VMEM copy and the 9 live copies blew the scoped-vmem
+    # limit at wide rows
+    dn = (((2,), (0,)), ((), ()))
+    acc = jnp.zeros((bh, wf, cof), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            t = xp[dy:dy + bh, dx:dx + w].reshape(bh * w, ci)
-            acc = acc + jax.lax.dot(
-                t, k[dy, dx], preferred_element_type=jnp.float32)
-    out_ref[0] = acc.reshape(bh, w, co).astype(out_ref.dtype)
+            acc = acc + jax.lax.dot_general(
+                xp[dy:dy + bh, dx:dx + wf], k[dy, dx], dn,
+                preferred_element_type=jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _bh_for(h: int, w: int, ci: int, cap_bytes: int = 6 << 20) -> int:
-    """Row-block height: multiple of 8 dividing h, block under ~6MB VMEM."""
+def _bh_for(h: int, wf: int, cif: int, cap_bytes: int = 1 << 20) -> int:
+    """Row-block height: multiple of 8 dividing h, input block <= ~1MB
+    (the kernel's VMEM footprint is ~10x the block: padded concat, 9 tap
+    slices, dot operands, fp32 accumulator — all unpadded post-fold)."""
     best = 8
     for cand in range(8, min(h, 256) + 1, 8):
-        if h % cand == 0 and cand * w * ci * 2 <= cap_bytes:
+        if h % cand == 0 and cand * wf * cif * 2 <= cap_bytes:
             best = cand
     return best
+
+
+def _fold_factor(w: int, ci: int, co: int) -> int:
+    """Fold enough W-pixels for >=128 input lanes, but cap the folded
+    OUTPUT width (f*co > 512 blows the weight/accumulator VMEM for
+    extreme ci:co ratios)."""
+    f = max(1, 128 // ci)
+    while f > 1 and (w % f or f * co > 512):
+        f //= 2
+    return f
 
 
 def _conv3x3_fwd_impl(x: Array, kernel: Array) -> Array:
     b, h, w, ci = x.shape
     co = kernel.shape[-1]
-    bh = _bh_for(h, w, ci)
+    f = _fold_factor(w, ci, co)
+    wf, cif, cof = w // f, f * ci, f * co
+    xf = x.reshape(b, h, wf, cif)            # free: channels-last W-fold
+    kf = fold_w_kernel(kernel, f) if f > 1 else kernel
+    bh = _bh_for(h, wf, cif)
     nblocks = h // bh
-    return pl.pallas_call(
-        functools.partial(_kernel, bh=bh, w=w, ci=ci, co=co,
+    out = pl.pallas_call(
+        functools.partial(_kernel, bh=bh, wf=wf, cif=cif, cof=cof,
                           nblocks=nblocks),
         grid=(b, nblocks),
         in_specs=[
-            pl.BlockSpec((1, 8, w, ci),
+            pl.BlockSpec((1, 8, wf, cif),
                          lambda bi, i: (bi, jnp.maximum(i * (bh // 8) - 1, 0),
                                         0, 0)),
-            pl.BlockSpec((1, bh, w, ci), lambda bi, i: (bi, i, 0, 0)),
-            pl.BlockSpec((1, 8, w, ci),
+            pl.BlockSpec((1, bh, wf, cif), lambda bi, i: (bi, i, 0, 0)),
+            pl.BlockSpec((1, 8, wf, cif),
                          lambda bi, i: (bi, jnp.minimum(i * (bh // 8) + bh // 8,
                                                         h // 8 - 1), 0, 0)),
-            pl.BlockSpec((3, 3, ci, co), lambda bi, i: (0, 0, 0, 0)),
+            pl.BlockSpec((3, 3, cif, cof), lambda bi, i: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bh, w, co), lambda bi, i: (bi, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, co), x.dtype),
+        out_specs=pl.BlockSpec((1, bh, wf, cof), lambda bi, i: (bi, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, wf, cof), x.dtype),
         interpret=_interpret(),
-    )(x, x, x, kernel)
+    )(xf, xf, xf, kf)
+    return out.reshape(b, h, w, co)
 
 
 @jax.custom_vjp
