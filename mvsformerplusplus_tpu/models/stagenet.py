@@ -119,6 +119,10 @@ class StageNet(nn.Module):
     fold_depth: bool = True
     fold_ky: int = 24
     fold_wx: int = 12
+    # banded warp band height: must cover the per-128-px-block (or whole
+    # narrow row) in-image v-span (DTU protocol worst case 14.4 + 2 per
+    # block, 18 whole-row at stage-1; tests/test_fold_window.py pins it)
+    banded_ky: int = 24
     # cap (bytes) on the unfolded pallas path's materialized patch temp; the
     # depth axis is lax.map-chunked to stay under it. The map's serialization
     # + per-iteration stacking costs real time (the stage-4 DTU eval while
@@ -253,9 +257,8 @@ class StageNet(nn.Module):
                     warped_cm, _ = homography_warp_banded(
                         src_feat_b, src_proj_b, ref_proj, depth_values,
                         gy=self.xgrouped_gx,
-                        ky=(self.fold_ky if fold
-                            else max(self.grouped_warp_kx,
-                                     2 * self.xgrouped_gx)),
+                        ky=max(self.banded_ky, self.fold_ky if fold
+                               else 2 * self.xgrouped_gx),
                         fold_depth=fold,
                         band_budget=self.warp_patch_budget,
                     )  # C-MAJOR [C, B, D, N] — the kernel's native layout

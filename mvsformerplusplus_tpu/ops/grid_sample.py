@@ -313,26 +313,51 @@ def fold_escape_fraction(coords, h: int, w: int, gy: int = 8, ky: int = 24,
 
 
 def banded_escape_fraction(coords, h: int, w: int, gy: int = 8,
-                           ky: int = 16, fold: bool = False) -> float:
-    """Diagnostic for the banded warp's y-window: fraction of IN-IMAGE
-    corner samples whose row falls outside the shared [ky] band (those
-    blend to zero — the out-of-FOV class). The banded anchor spans a WHOLE
-    output row-group (min over gy rows x all W columns[, x D when folded]),
-    so it is more exposed to cross-row v-drift than the per-pixel-group
-    ygrouped anchors — validate on a new dataset's cams before relying on
-    warp_mode='banded' there (tests/test_fold_window.py pins DTU). Pure
-    numpy; coords [B, D, H, W, 2] pixel units."""
+                           ky: int = 16, fold: bool = False,
+                           block_w: int = 0) -> float:
+    """Diagnostic for the banded warp's windows: fraction of IN-IMAGE
+    corner samples missing the shared band (those blend to zero — the
+    out-of-FOV class). block_w > 0 evaluates the production BLOCKED path
+    (per-(row-group, block_w-px block) robust anchors — the whole-row
+    anchor is unsound under epipolar tilt: in-image v spans up to 80 rows
+    across a stage-4 DTU row); block_w == 0 evaluates the whole-row path
+    (narrow images). Anchors are in-image-robust, matching _banded_prep.
+    Validate on a new dataset's cams before relying on warp_mode='banded'
+    (tests/test_fold_window.py pins DTU). Pure numpy; coords
+    [B, D, H, W, 2] pixel units."""
     import numpy as np
 
     d = coords.shape[1]
-    c = np.asarray(coords).reshape(-1, d, h // gy, gy, w, 2)
+    bw = block_w or w
+    c = np.asarray(coords).reshape(-1, d, h // gy, gy, w // bw, bw, 2)
     y0 = np.floor(c[..., 1])
-    axes = (1, 3, 4) if fold else (3, 4)
-    ay = np.clip(np.min(np.clip(y0, -1, h - 1), axis=axes, keepdims=True),
+    x0 = np.floor(c[..., 0])
+    inimg = ((y0 >= -1) & (y0 <= h - 1) & (x0 >= -1) & (x0 <= w - 1))
+    big = np.float32(1e9)
+    axes = (1, 3, 5) if fold else (3, 5)
+    ay = np.clip(np.min(np.where(inimg, y0, big), axis=axes, keepdims=True),
                  0, h - ky)
-    ok = y0 <= ay + ky - 2
-    inimg = (y0 >= -1) & (y0 <= h - 1)
-    return float((inimg & ~ok).mean())
+    k0 = None
+    if block_w:
+        # the blocked path also windows columns to 3 adjacent 128-chunks
+        k0 = np.clip(
+            np.min(np.where(inimg, x0, big), axis=axes, keepdims=True)
+            // 128, 0, max(w // 128 - 3, 0)) * 128
+
+    # count PER CORNER: a corner only needs band coverage when it is itself
+    # inside the image (out-of-image corners carry zero weight regardless —
+    # e.g. the second corner of a bottom-row sample)
+    lost = total = 0.0
+    for cy in (0, 1):
+        for cx in (0, 1):
+            ry, rx = y0 + cy, x0 + cx
+            live = (ry >= 0) & (ry <= h - 1) & (rx >= 0) & (rx <= w - 1)
+            covered = (ry >= ay) & (ry <= ay + ky - 1)
+            if k0 is not None:
+                covered &= (rx >= k0) & (rx <= k0 + 3 * 128 - 1)
+            lost += float((live & ~covered).sum())
+            total += float(live.sum())
+    return lost / max(total, 1.0)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
@@ -870,16 +895,19 @@ def _banded_prep(coords_c: Array, b: int, h: int, w: int, gy: int, ky: int,
     y = cf[..., 1]
     y0 = jnp.floor(y)
     fy = y - y0
-    # anchor = min corner over the rows (and depths when folded) the band
-    # serves, input-clamped against diverged projections (_group_anchors)
-    yc = jnp.clip(y0, -1, h - 1)
+    # ROBUST anchor: min over the band's IN-IMAGE samples only. A single
+    # diverged/out-of-FOV sample (projection past the image top) would
+    # otherwise pin the whole band at row 0 while the in-image samples sit
+    # far below — out-of-image samples blend to zero regardless, so they
+    # need no band coverage.
+    ylo = jnp.where((y0 >= -1) & (y0 <= h - 1), y0, jnp.float32(1e9))
     if fold_depth:
-        ay = jnp.clip(jnp.min(yc, axis=(1, 3, 4)), 0, h - ky)  # [B, Hg]
+        ay = jnp.clip(jnp.min(ylo, axis=(1, 3, 4)), 0, h - ky)  # [B, Hg]
         dyr = y0 - ay[:, None, :, None, None]
         starts = ay.astype(jnp.int32).reshape(b, hg, 1)
         d_shared = dc
     else:
-        ay = jnp.clip(jnp.min(yc, axis=(3, 4)), 0, h - ky)  # [B, Dc, Hg]
+        ay = jnp.clip(jnp.min(ylo, axis=(3, 4)), 0, h - ky)  # [B, Dc, Hg]
         dyr = y0 - ay[..., None, None]
         starts = ay.astype(jnp.int32).reshape(b, dc * hg, 1)
         d_shared = 1
@@ -887,6 +915,66 @@ def _banded_prep(coords_c: Array, b: int, h: int, w: int, gy: int, ky: int,
     nbrows = b * dc * hg
     to_r = lambda a: a.reshape(nbrows, gy, w)
     return to_r(x), to_r(dyr), to_r(fy), starts, d_shared, hg
+
+
+def _banded_blocked_prep(coords_c: Array, b: int, h: int, w: int, gy: int,
+                         ky: int):
+    """Per-(b, d, row-group, 128-px block) robust anchors for the BLOCKED
+    banded path: whole-row bands are unsound under epipolar tilt (in-image
+    v spans up to 80 rows across a stage-4 DTU row; <= 14.4 within any
+    128-px block — measured in tests/test_fold_window.py's geometry).
+
+    Returns (x_rel, dyr, fy [NBROWS, gy, W] f32 — x RELATIVE to each
+    block's 128-aligned column anchor — and starts [B, NBb, 2] int32 of
+    (band top row, column chunk index))."""
+    dc = coords_c.shape[1]
+    hg = h // gy
+    nj = w // 128
+    cf = coords_c.astype(jnp.float32).reshape(b, dc, hg, gy, nj, 128, 2)
+    x = cf[..., 0]
+    y = cf[..., 1]
+    y0 = jnp.floor(y)
+    fy = y - y0
+    x0 = jnp.floor(x)
+    in_img = ((y0 >= -1) & (y0 <= h - 1)
+              & (x0 >= -1) & (x0 <= w - 1))
+    big = jnp.float32(1e9)
+    ay = jnp.clip(jnp.min(jnp.where(in_img, y0, big), axis=(3, 5)),
+                  0, h - ky)                       # [B, Dc, Hg, NJ]
+    # 3-chunk window: alignment can waste up to 127 columns of the window,
+    # so 2 chunks guaranteed only 129 usable columns — less than one
+    # block's ~130-px u-span under tilt (measured u-window escapes). Three
+    # chunks guarantee 257.
+    k0 = jnp.clip(jnp.min(jnp.where(in_img, x0, big), axis=(3, 5)) // 128,
+                  0, nj - 3).astype(jnp.int32)     # chunk index
+    dyr = y0 - ay[:, :, :, None, :, None]
+    x_rel = x - (k0 * 128).astype(jnp.float32)[:, :, :, None, :, None]
+    starts = jnp.stack(
+        [ay.astype(jnp.int32).reshape(b, dc * hg * nj),
+         k0.reshape(b, dc * hg * nj)], axis=-1)    # [B, NBb, 2]
+
+    nbrows = b * dc * hg
+    to_r = lambda a: a.reshape(nbrows, gy, w)
+    return to_r(x_rel), to_r(dyr), to_r(fy), starts
+
+
+def _band_gather_blocked(img_c5: Array, starts: Array, ky: int,
+                         c: int) -> Array:
+    """img_c5 [B, H, C, W/128, 128]; starts [B, NBb, 2] of (row, chunk) ->
+    [B, NBb, ky, C, 2, 128]: one gather index per (row-group, 128-px
+    block), each fetching a [ky, C, 2 chunks] slab (minor dim fully
+    covered -> native)."""
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4, 5),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 3),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    return jax.lax.gather(
+        img_c5, starts, dnums, slice_sizes=(1, ky, c, 3, 128),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    )
 
 
 def _banded_chunk_fwd(img_f, coords_c, b, h, w, c, gy, ky, fold_depth):
@@ -917,11 +1005,44 @@ def _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget):
     return _banded_impl(img, coords, gy, ky, fold_depth, band_budget)
 
 
+def _banded_blocked_fwd(img_c5, coords_c, b, h, w, c, gy, ky):
+    from .pallas.warp_band import banded_warp_blocked
+
+    dc = coords_c.shape[1]
+    x_rel, dyr_r, fy_r, starts = _banded_blocked_prep(
+        coords_c, b, h, w, gy, ky)
+    bands = _band_gather_blocked(img_c5, starts, ky, c)
+    bands = bands.reshape(-1, ky * c, 384)
+    out = banded_warp_blocked(bands, x_rel, dyr_r, fy_r, c, gy, ky, w)
+    return out.reshape(c, b, dc, h * w)  # C-major [C, B, Dc, N]
+
+
 def _banded_impl(img, coords, gy, ky, fold_depth, band_budget):
     b, h, w, c = img.shape
     d = coords.shape[1]
     hg = h // gy
     assert h % gy == 0 and ky <= h, (h, gy, ky)
+
+    blocked = (not fold_depth) and w % 128 == 0 and w >= 384
+    if blocked:
+        # per-(group, 128-px block) bands: sound under epipolar tilt
+        img_c5 = jnp.transpose(img, (0, 1, 3, 2)).reshape(
+            b, h, c, w // 128, 128)
+        bytes_per_d = b * hg * (w // 128) * ky * c * 384 * img.dtype.itemsize
+        dc = max(1, min(d, band_budget // max(1, bytes_per_d)))
+        while d % dc:
+            dc -= 1
+        if dc == d:
+            return _banded_blocked_fwd(img_c5, coords, b, h, w, c, gy, ky)
+        chunks = jnp.moveaxis(coords.reshape(b, d // dc, dc, h, w, 2), 1, 0)
+        out = jax.lax.map(
+            lambda cc: _banded_blocked_fwd(img_c5, cc, b, h, w, c, gy, ky),
+            chunks)  # [nc, C, B, dc, N]
+        return jnp.moveaxis(out, 0, 2).reshape(c, b, d, h * w)
+
+    # whole-row bands (narrow images where 128-blocks don't divide W): only
+    # sound when the per-row in-image v-span fits ky — true for the narrow
+    # coarse-stage rows this path serves (see banded_escape_fraction)
     # [B, H, C, W] flattened: a band row is one contiguous [C*W] run and the
     # kernel's [ky*C, W] layout is a pure reshape of the gathered [ky, C*W]
     img_f = jnp.transpose(img, (0, 1, 3, 2)).reshape(b, h, c * w)
@@ -955,6 +1076,13 @@ def _banded_stopgrad_bwd(gy, ky, fold_depth, band_budget, res, ct):
     shape, dtype = ex.shape[1:], ex.dtype
     b, h, w, c = shape
     d = coords.shape[1]
+    # The backward uses WHOLE-ROW bands regardless of the forward's
+    # blocking (it is an independent linear map): widen ky so the row-wide
+    # in-image v-span fits at training-crop scales (~33 rows at stage-4
+    # 512x640; the robust anchor keeps diverged samples from pinning it).
+    # Samples outside even this window get zero gradient — the out-of-FOV
+    # class, matching the forward's escape semantics.
+    ky = min(max(ky, 48), h)
     # single pass (no d-chunking): the backward's dbands temp is f32 but
     # train-protocol sizes stay modest (<= ~0.7 GB/stage at 512x640)
     x_r, dyr_r, fy_r, starts, d_shared, hg = _banded_prep(

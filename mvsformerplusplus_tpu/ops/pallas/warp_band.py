@@ -231,3 +231,83 @@ def banded_warp_rows_bwd(g: Array, x_src: Array, dyr: Array, fy: Array,
         interpret=_interpret(),
     )(g.astype(jnp.float32), x_src, dyr, fy)
     return dbands.astype(band_dtype)
+
+
+def _fwd_kernel_blocked(bands_ref, x_ref, dyr_ref, fy_ref, out_ref,
+                        *, c: int, gy: int, ky: int, jb: int, bw: int):
+    """Per-(row-group, x-superblock) program: jb 128-px blocks, each with
+    its OWN [ky*C, BW=256] band (anchored per block — whole-row bands are
+    unsound under epipolar tilt: in-image v spans up to 80 rows across a
+    stage-4 DTU row vs <= 14.4 within any 128-px block).
+
+    bands_ref [JB, ky*C, BW]; x/dyr/fy refs [1, gy, JB*128] (x is RELATIVE
+    to the block's column anchor); out_ref [C, 1, gy, JB*128].
+    """
+    x = x_ref[0]
+    dyr = dyr_ref[0]
+    fy = fy_ref[0]
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (bw, 128), 0)
+
+    cols = []
+    for j in range(jb):
+        sl = slice(j * 128, (j + 1) * 128)
+        xj = x[:, sl]
+        x0 = jnp.floor(xj)
+        fx_all = xj - x0
+        x0i = x0.astype(jnp.int32)
+        band = bands_ref[j]                       # [ky*C, BW]
+        rows = []
+        for r in range(gy):
+            diff = iota_u - x0i[r:r + 1]
+            a0 = (diff == 0).astype(band.dtype)
+            a1 = (diff == 1).astype(band.dtype)
+            rv0 = jax.lax.dot(band, a0, preferred_element_type=jnp.float32)
+            rv1 = jax.lax.dot(band, a1, preferred_element_type=jnp.float32)
+            fx = fx_all[r:r + 1]
+            rv = rv0 * (1.0 - fx) + rv1 * fx      # [ky*C, 128]
+            dyr_r = dyr[r:r + 1, sl]
+            fy_r = fy[r:r + 1, sl]
+            acc = jnp.zeros((c, 128), jnp.float32)
+            for k in range(ky):
+                wy = jnp.where(dyr_r == k, 1.0 - fy_r,
+                               jnp.where(dyr_r == k - 1, fy_r, 0.0))
+                acc = acc + rv[k * c:(k + 1) * c, :] * wy
+            rows.append(acc)
+        cols.append(jnp.stack(rows, axis=1))      # [C, gy, 128]
+    out_ref[:, 0] = jnp.concatenate(cols, axis=2)  # [C, gy, JB*128]
+
+
+def banded_warp_blocked(bands: Array, x_rel: Array, dyr: Array, fy: Array,
+                        c: int, gy: int, ky: int, w: int,
+                        bw: int = 384) -> Array:
+    """Blocked-band blend: bands [NBROWS*(W/128), ky*C, BW] (one band per
+    (row-group, 128-px block), ordered blocks-minor), x_rel/dyr/fy
+    [NBROWS, gy, W] f32 with x RELATIVE to each block's column anchor.
+    Returns [C, NBROWS, gy, W] f32.
+    """
+    nbrows = x_rel.shape[0]
+    nj = w // 128
+    assert bands.shape[0] == nbrows * nj, (bands.shape, nbrows, nj)
+    assert bands.shape[1:] == (ky * c, bw)
+    # superblock: amortize grid overhead over a few 128-px blocks
+    jb = 1
+    for cand in (8, 6, 4, 3, 2):
+        if nj % cand == 0 and cand * ky * c * bw * 2 <= (3 << 20):
+            jb = cand
+            break
+    npb = nj // jb
+    wspec = pl.BlockSpec((1, gy, jb * 128), lambda i, j: (i, 0, j))
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_blocked, c=c, gy=gy, ky=ky, jb=jb,
+                          bw=bw),
+        grid=(nbrows, npb),
+        in_specs=[pl.BlockSpec((jb, ky * c, bw),
+                               lambda i, j: (i * npb + j, 0, 0)),
+                  wspec, wspec, wspec],
+        out_specs=pl.BlockSpec((c, 1, gy, jb * 128),
+                               lambda i, j: (0, i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((c, nbrows, gy, w), jnp.float32),
+        interpret=_interpret(),
+    )(bands, x_rel, dyr, fy)
+    return out

@@ -60,3 +60,42 @@ def test_fold_window_adds_no_escapes_at_dtu_geometry():
         for b, f in zip(base, fold):
             assert f <= b + 1e-6, (sc, base, fold)
         assert max(fold) < 0.003, (sc, fold)
+
+
+@pytest.mark.slow
+def test_banded_window_escapes_at_dtu_geometry():
+    """The banded warp's y-window (anchor = min over a whole output
+    row-group ACROSS W) at the DTU eval protocol, every stage including the
+    full-range first sweep: escapes stay in the same ~0.1% epipolar-
+    degenerate class as the per-pixel-group paths."""
+    from bench import make_dtu_eval_batch
+
+    from mvsformerplusplus_tpu.ops.grid_sample import banded_escape_fraction
+
+    H, W = 1152, 1536
+    _, cams, dvals = make_dtu_eval_batch()
+    dv = jnp.asarray(dvals)
+
+    def banded_esc(proj_stage, hypo, h, w, block_w, ky):
+        ref_p = proj_stage[:, 0]
+        out = []
+        for vi in range(1, proj_stage.shape[1]):
+            coords, _ = plane_sweep_coords(
+                proj_stage[:, vi], ref_p, hypo, h, w)
+            out.append(banded_escape_fraction(coords, h, w, gy=8, ky=ky,
+                                              block_w=block_w))
+        return out
+
+    hypo = init_inverse_range(dv, 32, H // 8, W // 8)
+    # stage1 (W=192, not 128-divisible) takes the whole-row path with the
+    # production ky
+    esc = banded_esc(compose_projection(jnp.asarray(cams["stage1"])),
+                     hypo, H // 8, W // 8, block_w=0, ky=24)
+    assert max(esc) < 0.003, ("stage1", esc)
+    for nd, ratio, sc in ((16, 2.67, 4), (8, 1.5, 2), (4, 1.0, 1)):
+        hypo = schedule_inverse_range(
+            hypo[:, hypo.shape[1] // 2], hypo, nd, ratio, H // sc, W // sc)
+        proj = compose_projection(jnp.asarray(cams[
+            {4: "stage2", 2: "stage3", 1: "stage4"}[sc]]))
+        esc = banded_esc(proj, hypo, H // sc, W // sc, block_w=128, ky=24)
+        assert max(esc) < 0.003, (sc, esc)

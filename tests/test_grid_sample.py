@@ -581,3 +581,68 @@ def test_banded_warp_grad_matches_plain():
     grf = jax.grad(loss_plain_band)(jnp.asarray(feat))
     np.testing.assert_allclose(np.asarray(gf), np.asarray(grf),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_banded_blocked_path_matches_plain():
+    """The production BLOCKED banded path (W % 128 == 0, per-128-px-block
+    bands) under a strongly tilted camera — the geometry class where
+    whole-row bands escape (in-image v spans up to 80 rows across a
+    stage-4 DTU row). Includes out-of-image regions and a d-chunked run."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(21)
+    b, h, w, c, d = 1, 64, 384, 8, 4
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.15, tx=0.4)
+    roll = 0.08  # tilt sized so whole-row bands escape but 128-px blocks
+    # hold (whole-row v-span ~ W*roll ~ 31 rows; per-block ~ 10 + drift)
+    rz = np.array([
+        [np.cos(roll), -np.sin(roll), 0],
+        [np.sin(roll), np.cos(roll), 0],
+        [0, 0, 1]], dtype=np.float32)
+    src_ext[:3, :3] = rz @ src_ext[:3, :3]
+    ref_proj = compose(ref_intr, ref_ext)[None]
+    src_proj = compose(src_intr, src_ext)[None]
+    dv = np.linspace(2.5, 5.5, d, dtype=np.float32)[None]
+
+    from mvsformerplusplus_tpu.ops.grid_sample import (
+        banded_escape_fraction, homography_warp_banded)
+    from mvsformerplusplus_tpu.ops.geometry import plane_sweep_coords
+
+    coords, _ = plane_sweep_coords(src_proj, ref_proj, dv, h, w)
+    # sanity: this geometry DOES break the whole-row window...
+    assert banded_escape_fraction(
+        np.asarray(coords), h, w, gy=8, ky=24, block_w=0) > 0.01
+    # ...and the blocked window holds
+    assert banded_escape_fraction(
+        np.asarray(coords), h, w, gy=8, ky=24, block_w=128) < 1e-4
+
+    got, _ = homography_warp_banded(feat, src_proj, ref_proj, dv, ky=24)
+    got = np.asarray(got).reshape(c, b, d, h, w).transpose(1, 2, 3, 4, 0)
+    ref, _ = homography_warp(feat, src_proj, ref_proj, dv)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    got2, _ = homography_warp_banded(feat, src_proj, ref_proj, dv, ky=24,
+                                     band_budget=1)
+    got2 = np.asarray(got2).reshape(c, b, d, h, w).transpose(1, 2, 3, 4, 0)
+    np.testing.assert_allclose(got2, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+    # gradients through the blocked forward (whole-row widened backward)
+    g = jnp.asarray(rng.randn(c, b, d, h * w).astype(np.float32))
+
+    def loss_b(x):
+        warped, _ = homography_warp_banded(x, src_proj, ref_proj,
+                                           jnp.asarray(dv), ky=24)
+        return jnp.sum(warped * g)
+
+    def loss_p(x):
+        warped, _ = homography_warp(x, src_proj, ref_proj, jnp.asarray(dv))
+        return jnp.sum(
+            jnp.moveaxis(warped, -1, 0).reshape(c, b, d, h * w) * g)
+
+    gb = jax.grad(loss_b)(jnp.asarray(feat))
+    gp = jax.grad(loss_p)(jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gp),
+                               rtol=1e-4, atol=1e-4)
