@@ -228,10 +228,13 @@ class MMConv(nn.Module):
         b = (self.param("bias", nn.initializers.zeros, (self.features,))
              if self.use_bias else None)
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        # kernel viability: its minimum (8-row) input block must fit the
-        # ~1MB VMEM budget (the kernel holds ~12 block-sized buffers)
-        pallas_ok = (ks == (3, 3) and x.shape[1] % 8 == 0 and ci >= 8
-                     and 8 * x.shape[2] * ci * 2 <= (1 << 20))
+        if ks == (3, 3) and on_tpu:
+            from ..ops.pallas.conv2d import conv3x3_viable
+
+            pallas_ok = conv3x3_viable(x.shape[1], x.shape[2], ci,
+                                       self.features)
+        else:
+            pallas_ok = False
         if on_tpu and pallas_ok:
             # Pallas fused conv: ONE input read + 9 shifted MXU dots
             # (ops/pallas/conv2d.py) — XLA's conv moves ~6x the bytes and

@@ -123,6 +123,7 @@ class StageNet(nn.Module):
     # narrow row) in-image v-span (DTU protocol worst case 14.4 + 2 per
     # block, 18 whole-row at stage-1; tests/test_fold_window.py pins it)
     banded_ky: int = 24
+    banded_max_c: int = 16
     # cap (bytes) on the unfolded pallas path's materialized patch temp; the
     # depth axis is lax.map-chunked to stay under it. The map's serialization
     # + per-iteration stacking costs real time (the stage-4 DTU eval while
@@ -213,12 +214,16 @@ class StageNet(nn.Module):
             mode = "folded"  # depth-grouping unsound for full-range sweeps
         if mode == "banded" and (c % 8 != 0 or h % self.xgrouped_gx != 0
                                  or h < 2 * self.xgrouped_gx
+                                 or c > self.banded_max_c
                                  or self.shard_views or self.shard_depth):
             # the band kernel slices [ky*C] sublanes in C-steps (C%8) and
-            # groups H rows; unlike 'pallas' it has NO W or C constraints
-            # (the x-selection is a matmul over the full width). Under cv
-            # sharding it demotes to the gather paths until the pallas_call
-            # is validated under vmap/SPMD partitioning.
+            # groups H rows. C > banded_max_c (16): the one-hot matmuls'
+            # [ky*C] contraction rows scale with C while the gather saving
+            # is fixed — measured v5e crossover (r3 sound ablation): stage3
+            # C=16 blocked 97 ms vs pallas 122, stage4 C=8 91 vs 242, but
+            # stage2 C=32 128 vs 95 and stage1 C=64 80 vs 65. Under cv
+            # sharding it demotes until the pallas_call is validated under
+            # vmap/SPMD partitioning.
             mode = "pallas"
         if mode == "pallas" and (c % 8 != 0 or h % self.xgrouped_gx != 0
                                  or w % 128 != 0 or c > self.pallas_max_c):

@@ -83,13 +83,23 @@ def _kernel(top_ref, mid_ref, bot_ref, k_ref, out_ref, *, bh: int, wf: int,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _bh_for(h: int, wf: int, cif: int, cap_bytes: int = 1 << 20) -> int:
-    """Row-block height: multiple of 8 dividing h, input block <= ~1MB
-    (the kernel's VMEM footprint is ~10x the block: padded concat, 9 tap
-    slices, dot operands, fp32 accumulator — all unpadded post-fold)."""
-    best = 8
+def _footprint(bh: int, wf: int, cif: int, cof: int) -> int:
+    """Scoped-VMEM model for one program: 3 input blocks + padded concat +
+    9 materialized tap slices + dot temps (~14 input-block-sized bf16
+    buffers, matched against compile-time OOM dumps) + two fp32
+    accumulator-sized buffers + the folded weight."""
+    in_block = bh * wf * cif * 2
+    acc = bh * wf * cof * 4
+    return 14 * in_block + 2 * acc + 9 * cif * cof * 2
+
+
+def _bh_for(h: int, wf: int, cif: int, cof: int,
+            cap_bytes: int = 10 << 20) -> int:
+    """Largest row-block height (multiple of 8 dividing h) whose modeled
+    footprint fits; 0 when even 8 rows do not (callers must fall back)."""
+    best = 0
     for cand in range(8, min(h, 256) + 1, 8):
-        if h % cand == 0 and cand * wf * cif * 2 <= cap_bytes:
+        if h % cand == 0 and _footprint(cand, wf, cif, cof) <= cap_bytes:
             best = cand
     return best
 
@@ -104,6 +114,14 @@ def _fold_factor(w: int, ci: int, co: int) -> int:
     return f
 
 
+def conv3x3_viable(h: int, w: int, ci: int, co: int) -> bool:
+    """Can conv3x3_p run this shape within the VMEM model?"""
+    if h % 8 or h < 8 or ci < 8:
+        return False
+    f = _fold_factor(w, ci, co)
+    return _bh_for(h, w // f, f * ci, f * co) > 0
+
+
 def _conv3x3_fwd_impl(x: Array, kernel: Array) -> Array:
     b, h, w, ci = x.shape
     co = kernel.shape[-1]
@@ -111,7 +129,8 @@ def _conv3x3_fwd_impl(x: Array, kernel: Array) -> Array:
     wf, cif, cof = w // f, f * ci, f * co
     xf = x.reshape(b, h, wf, cif)            # free: channels-last W-fold
     kf = fold_w_kernel(kernel, f) if f > 1 else kernel
-    bh = _bh_for(h, wf, cif)
+    bh = _bh_for(h, wf, cif, cof)
+    assert bh > 0, ("conv3x3_p gated by conv3x3_viable", x.shape, co)
     nblocks = h // bh
     out = pl.pallas_call(
         functools.partial(_kernel, bh=bh, wf=wf, cif=cif, cof=cof,
