@@ -602,6 +602,13 @@ def _ygrouped_stopgrad_bwd(gy, ky, wx, patch_budget, fold_depth, res, ct):
     shape, dtype = ex.shape[1:], ex.dtype
     b, d, h, w = coords.shape[:4]
     c = ct.shape[2]
+    if h % 8 == 0:
+        # banded matmul transpose (banded_image_grad): the per-sample
+        # linear_transpose below is a 4C-window scatter-add that ran at
+        # 1 GB/s (~270 ms/step) in the r3 train profile
+        ct_cm = jnp.moveaxis(ct, 2, 0).reshape(c, b, d, h * w)
+        return (banded_image_grad(ct_cm, coords, shape, dtype, gy=8),
+                jnp.zeros_like(coords))
     # ct: [B, D, C, H*W] f32 -> the per-sample layout [B, D, H, W, C]
     ct_t = jnp.moveaxis(ct, 2, 3).reshape(b, d, h, w, c)
     f = lambda im: bilinear_sample(im, coords)
@@ -1069,33 +1076,43 @@ def _banded_stopgrad_fwd(img, coords, gy, ky, fold_depth, band_budget):
     return out, (coords, jnp.zeros((0,) + img.shape, img.dtype))
 
 
-def _banded_stopgrad_bwd(gy, ky, fold_depth, band_budget, res, ct):
+def banded_image_grad(ct_cm, coords, shape, dtype, gy: int = 8,
+                      ky: int = 48, fold_depth: bool = False):
+    """dL/dimg of ANY gradient-stopped warp via the banded matmul transpose.
+
+    ct_cm: C-major cotangent [C, B, D, N]. The backward uses WHOLE-ROW
+    bands regardless of the forward's formulation (it is an independent
+    linear map): ky=48 covers the row-wide in-image v-span at training-crop
+    scales (~33 rows at stage-4 512x640; the robust anchor keeps diverged
+    samples from pinning it). Samples outside the window get zero gradient
+    — the out-of-FOV class. This replaces the per-sample 4C-window
+    scatter-add (1 GB/s, ~270 ms/step in the r3 profile) for every
+    stop-grad warp path that calls it.
+    """
     from .pallas.warp_band import banded_warp_rows_bwd
 
-    coords, ex = res
-    shape, dtype = ex.shape[1:], ex.dtype
     b, h, w, c = shape
     d = coords.shape[1]
-    # The backward uses WHOLE-ROW bands regardless of the forward's
-    # blocking (it is an independent linear map): widen ky so the row-wide
-    # in-image v-span fits at training-crop scales (~33 rows at stage-4
-    # 512x640; the robust anchor keeps diverged samples from pinning it).
-    # Samples outside even this window get zero gradient — the out-of-FOV
-    # class, matching the forward's escape semantics.
     ky = min(max(ky, 48), h)
-    # single pass (no d-chunking): the backward's dbands temp is f32 but
-    # train-protocol sizes stay modest (<= ~0.7 GB/stage at 512x640)
     x_r, dyr_r, fy_r, starts, d_shared, hg = _banded_prep(
         coords, b, h, w, gy, ky, fold_depth)
-    # ct arrives C-major [C, B, D, N] — the kernel's own output layout
-    g = ct.astype(jnp.float32).reshape(c, b * d * hg, gy, w)
+    g = ct_cm.astype(jnp.float32).reshape(c, b * d * hg, gy, w)
     dbands = banded_warp_rows_bwd(
         g, x_r, dyr_r, fy_r, c, gy, ky, w, d_shared=d_shared, hg=hg)
     nb = starts.shape[1]
     dimg_f = _band_scatter(
         dbands.reshape(b, nb, ky, c * w), starts, b, h, c * w, ky)
-    dimg = jnp.transpose(dimg_f.reshape(b, h, c, w), (0, 1, 3, 2))
-    return dimg.astype(dtype), jnp.zeros_like(coords)
+    return jnp.transpose(dimg_f.reshape(b, h, c, w),
+                         (0, 1, 3, 2)).astype(dtype)
+
+
+def _banded_stopgrad_bwd(gy, ky, fold_depth, band_budget, res, ct):
+    coords, ex = res
+    shape, dtype = ex.shape[1:], ex.dtype
+    # ct arrives C-major [C, B, D, N] — the kernel's own output layout
+    dimg = banded_image_grad(ct, coords, shape, dtype, gy=gy, ky=ky,
+                             fold_depth=fold_depth)
+    return dimg, jnp.zeros_like(coords)
 
 
 _banded_stopgrad.defvjp(_banded_stopgrad_fwd, _banded_stopgrad_bwd)
