@@ -229,25 +229,36 @@ class MMConv(nn.Module):
              if self.use_bias else None)
         on_tpu = jax.default_backend() in ("tpu", "axon")
         if ks == (3, 3) and on_tpu:
-            from ..ops.pallas.conv2d import conv3x3_viable
+            from ..ops.pallas.conv2d import conv3x3_p, conv3x3_viable
 
-            pallas_ok = conv3x3_viable(x.shape[1], x.shape[2], ci,
-                                       self.features)
-        else:
-            pallas_ok = False
-        if on_tpu and pallas_ok:
             # Pallas fused conv: ONE input read + 9 shifted MXU dots
             # (ops/pallas/conv2d.py) — XLA's conv moves ~6x the bytes and
             # the XLA shifted-matmul form re-reads the input 9x (the
-            # shifted operands materialize; 47.6 ms on the 64-ch head)
-            from ..ops.pallas.conv2d import conv3x3_p
-
-            y = conv3x3_p(x.astype(self.dtype), k.astype(self.dtype))
-            return y if b is None else y + b.astype(self.dtype)
+            # shifted operands materialize; 47.6 ms on the 64-ch head).
+            # Wide-channel full-width inputs exceed the kernel's VMEM
+            # budget whole; CHANNEL-SPLITTING them is exact (conv is linear
+            # in input-channel groups) and keeps total bytes unchanged.
+            for cc in (ci, ci // 2, ci // 4, ci // 8):
+                if (cc >= 8 and ci % max(cc, 1) == 0
+                        and conv3x3_viable(x.shape[1], x.shape[2], cc,
+                                           self.features)):
+                    xd = x.astype(self.dtype)
+                    kd = k.astype(self.dtype)
+                    # fp32 partial-sum accumulation (each kernel call
+                    # accumulates fp32 internally; the cross-chunk sum
+                    # must not round per-chunk in bf16)
+                    y = conv3x3_p(xd[..., :cc],
+                                  kd[:, :, :cc]).astype(jnp.float32)
+                    for s in range(cc, ci, cc):
+                        y = y + conv3x3_p(xd[..., s:s + cc],
+                                          kd[:, :, s:s + cc]
+                                          ).astype(jnp.float32)
+                    if b is not None:
+                        y = y + b
+                    return y.astype(self.dtype)
         if ci > 32 and max(ks) > 1:
-            # wide-channel full-width rows (the 64-ch decoder head at eval
-            # scale): the shifted operands materialize as 9 full copies —
-            # XLA's conv is the lesser evil here
+            # no viable split (extreme shapes): XLA's conv is the lesser
+            # evil — the shifted operands would materialize as 9 full copies
             return jax.lax.conv_general_dilated(
                 x.astype(self.dtype), k.astype(self.dtype), (1, 1),
                 sym_pad(ks),

@@ -62,3 +62,17 @@ def test_conv3x3_bf16_edge_rows():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_conv3x3_channel_split_is_exact():
+    """Channel-splitting (MMConv's wide-input route) == whole conv: conv is
+    linear in input-channel groups; fp32 cross-chunk accumulation."""
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(1, 16, 128, 64).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 64, 8).astype(np.float32) * 0.1)
+    whole = jax.jit(conv3x3_p)(x, k)
+    parts = sum(
+        jax.jit(conv3x3_p)(x[..., s:s + 16], k[:, :, s:s + 16])
+        for s in range(0, 64, 16))
+    np.testing.assert_allclose(np.asarray(parts), np.asarray(whole),
+                               rtol=1e-4, atol=1e-4)
