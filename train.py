@@ -28,6 +28,9 @@ def main():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("-o", "--override", action="append", default=[],
                    help="config override path=value (reference 'a;b;c' syntax)")
+    p.add_argument("--debug", action="store_true",
+                   help="log per-module grad norms and flag inf/NaN "
+                        "gradients with their module (reference --debug)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() (one process per host)")
     args = p.parse_args()
@@ -184,6 +187,10 @@ def main():
         interval_norm=("blended"
                        if cfg["data_loader"][0]["type"] == "BlendedLoader"
                        else "dtu"),
+        log_images=cfg["trainer"].get("log_images", True),
+        # per-module grad norms + inf/NaN localization (≡ reference --debug,
+        # trainer/mvsformer_trainer.py:151-168)
+        debug=args.debug,
     )
 
     state = None
