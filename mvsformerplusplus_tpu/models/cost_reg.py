@@ -79,11 +79,22 @@ class CostRegNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(self, x: Array, train: bool = False,
+                 folded_d: Optional[int] = None) -> Array:
         bc = self.base_channels
-        in_ch = x.shape[-1]
+        if folded_d is not None:
+            # caller hands the volume ALREADY in the folded [B, H, W, D*C]
+            # layout (StageNet fuses the fold into its single volume
+            # transpose — the [B,D,H,W,C] intermediate's C=8-64 minor dim
+            # would lane-pad up to 16x)
+            assert _auto_layout(self.layout) == "dfold", self.layout
+            in_ch = x.shape[-1] // folded_d
+            x2, d = x, folded_d
+        else:
+            in_ch = x.shape[-1]
         if _auto_layout(self.layout) == "dfold":
-            x2, d = _to_dfold(x)
+            if folded_d is None:
+                x2, d = _to_dfold(x)
             d2, d4, d8 = (d + 1) // 2, (d + 3) // 4, (d + 7) // 8
             conv0 = x2
             conv2 = Conv3dBlock(bc * 2, dtype=self.dtype)(
@@ -150,13 +161,22 @@ class CostRegNet3D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
+    def __call__(self, x: Array, train: bool = False,
+                 folded_d: Optional[int] = None) -> Array:
         bc = self.base_channels
-        in_ch = x.shape[-1]
+        if folded_d is not None:
+            # pre-folded [B, H, W, D*C] input (see CostRegNet)
+            assert _auto_layout(self.layout) == "dfold", self.layout
+            in_ch = x.shape[-1] // folded_d
+        else:
+            in_ch = x.shape[-1]
         s = (1, 2, 2)
         out = 2 if self.log_var else 1
         if _auto_layout(self.layout) == "dfold":
-            x2, d = _to_dfold(x)
+            if folded_d is not None:
+                x2, d = x, folded_d
+            else:
+                x2, d = _to_dfold(x)
             conv0 = x2
             conv2 = Conv3dBlock(bc * 2, dtype=self.dtype)(
                 Conv3dBlock(bc * 2, stride=s, dtype=self.dtype)(

@@ -34,7 +34,8 @@ from ..ops.grid_sample import (
 from ..ops.sampling import (conf_regression, depth_regression,
                             select_along_d)
 from .layers import MMConv
-from .cost_reg import CostRegNet, CostRegNet3D, PureTransformerCostReg
+from .cost_reg import (CostRegNet, CostRegNet3D, PureTransformerCostReg,
+                       _auto_layout)
 from .layers import ConvBnReLU
 
 Array = jax.Array
@@ -120,9 +121,13 @@ class StageNet(nn.Module):
     fold_ky: int = 24
     fold_wx: int = 12
     # banded warp band height: must cover the per-128-px-block (or whole
-    # narrow row) in-image v-span (DTU protocol worst case 14.4 + 2 per
-    # block, 18 whole-row at stage-1; tests/test_fold_window.py pins it)
-    banded_ky: int = 24
+    # narrow row) in-image v-span. ky=16 measures ZERO escapes at every
+    # blocked stage of the DTU protocol (tests/test_fold_window.py pins it)
+    # and keeps the one-hot matmuls' ky*C contraction rows at <= 1 MXU
+    # sublane tile for C=8 (2 for C=16): the kernel is MXU-pass-bound, so
+    # ky 24 -> 16 cuts its matmul passes 2x at stage-4 scale. The whole-row
+    # path (narrow W) keeps >= 24: row-wide v-spans reach ~16-18.
+    banded_ky: int = 16
     banded_max_c: int = 16
     # cap (bytes) on the unfolded pallas path's materialized patch temp; the
     # depth axis is lax.map-chunked to stay under it. The map's serialization
@@ -141,7 +146,17 @@ class StageNet(nn.Module):
     # arch.args.log_var -> 2-channel head -> outputs["log_var"] =
     # prob-weighted expectation of the per-hypothesis log-variance).
     log_var: bool = False
+    # layout the U-Net regularizers run in ('auto' -> 'dfold' on TPU). When
+    # it resolves to 'dfold', build_volume emits the volume DIRECTLY in the
+    # folded [B, H, W, D*G] layout with ONE transpose — the [B, D, H, W, G]
+    # intermediate's G=8 minor dim would lane-pad 16x, and the regularizer
+    # would immediately re-transpose it (_to_dfold)
+    reg_layout: str = "auto"
     dtype: Dtype = jnp.float32
+
+    def _fold_handoff(self) -> bool:
+        return (self.cost_reg_type != "PureTransformerCostReg"
+                and _auto_layout(self.reg_layout) == "dfold")
 
     def setup(self):
         self.vis = VisibilityNet(dtype=self.dtype)
@@ -171,22 +186,37 @@ class StageNet(nn.Module):
             self.cost_reg = cls(base_channel=self.groups, dtype=self.dtype,
                                 **cfg)
         elif self.ndepth <= self.model_th:
-            cls = (nn.remat(CostRegNet3D, static_argnums=(2,))
+            cls = (nn.remat(CostRegNet3D, static_argnums=(2, 3))
                    if self.remat_cost_reg else CostRegNet3D)
             self.cost_reg = cls(base_channels=self.groups,
-                                log_var=self.log_var, dtype=self.dtype)
+                                log_var=self.log_var,
+                                layout=self.reg_layout, dtype=self.dtype)
         else:
-            cls = (nn.remat(CostRegNet, static_argnums=(2,))
+            cls = (nn.remat(CostRegNet, static_argnums=(2, 3))
                    if self.remat_cost_reg else CostRegNet)
-            self.cost_reg = cls(base_channels=self.groups, dtype=self.dtype)
+            self.cost_reg = cls(base_channels=self.groups,
+                                layout=self.reg_layout, dtype=self.dtype)
 
     def build_volume(self, features: Array, cams: Array, depth_values: Array,
                      train: bool) -> Array:
         """Weighted-mean correlation volume over source views, batched.
 
         features: [B, V, H, W, C] (view 0 = reference), cams: [B, V, 2, 4, 4].
-        Returns [B, D, H, W, G] fp32.
+        Returns [B, D, H, W, G] fp32 (external-caller convenience wrapper:
+        __call__ consumes _build_volume_impl's folded layout directly).
         """
+        vol, fd = self._build_volume_impl(features, cams, depth_values, train)
+        if fd is None:
+            return vol
+        b, h, w, dg = vol.shape
+        v5 = vol.reshape(b, h, w, fd, dg // fd)
+        return jnp.transpose(v5, (0, 3, 1, 2, 4))
+
+    def _build_volume_impl(self, features: Array, cams: Array,
+                           depth_values: Array, train: bool):
+        """Returns (volume, folded_d): folded_d=None -> [B, D, H, W, G];
+        folded_d=D -> the regularizer's folded layout [B, H, W, D*G]
+        (one transpose off the kernels' N-minor layout instead of two)."""
         b, v, h, w, c = features.shape
         nsrc = v - 1
         d = depth_values.shape[1]
@@ -259,10 +289,16 @@ class StageNet(nn.Module):
                             and not self.shard_depth
                             and self.ndepth <= self.grouped_warp_th
                             and h >= self.fold_ky)
+                    # per-128-px-block bands tolerate a short ky (block
+                    # v-span ~14); the whole-row fallback (narrow W) sees
+                    # row-wide spans and needs >= 24
+                    blocked = (not fold) and w % 128 == 0 and w >= 384
+                    base_ky = (self.banded_ky if blocked
+                               else max(self.banded_ky, 24))
                     warped_cm, _ = homography_warp_banded(
                         src_feat_b, src_proj_b, ref_proj, depth_values,
                         gy=self.xgrouped_gx,
-                        ky=max(self.banded_ky, self.fold_ky if fold
+                        ky=max(base_ky, self.fold_ky if fold
                                else 2 * self.xgrouped_gx),
                         fold_depth=fold,
                         band_budget=self.warp_patch_budget,
@@ -367,11 +403,16 @@ class StageNet(nn.Module):
             volume_sum = jnp.sum(corr * vis_cm, axis=0)  # [G, B, D, N]
             vis_sum = jnp.sum(vis_cm, axis=0)            # [1, B, 1, N]
             volume_t = volume_sum / (vis_sum + 1e-6)
-            # single conv-layout transpose of the finished volume (barrier:
+            # single layout transpose of the finished volume (barrier:
             # see the N-minor branch below)
             volume_t = jax.lax.optimization_barrier(volume_t)
             vol = volume_t.reshape(self.groups, b, d, h, w)
-            return jnp.transpose(vol, (1, 2, 3, 4, 0))   # [B, D, H, W, G]
+            if self._fold_handoff():
+                # straight to the regularizer's folded layout: minor dim
+                # D*G (32-256) instead of G=8 (16x lane padding)
+                fv = jnp.transpose(vol, (1, 3, 4, 2, 0))  # [B, H, W, D, G]
+                return fv.reshape(b, h, w, d * self.groups), d
+            return jnp.transpose(vol, (1, 2, 3, 4, 0)), None  # [B,D,H,W,G]
 
         if grouped:
             # corr: [V-1, B, D, G, N]; entropy: [V-1, B, N]
@@ -389,11 +430,18 @@ class StageNet(nn.Module):
             # lane-padded [G, N] layouts to the upstream buffers: 16x HBM).
             volume_t = jax.lax.optimization_barrier(volume_t)
             vol = volume_t.reshape(b, d, self.groups, h, w)
+            if self._fold_handoff():
+                fv = jnp.transpose(vol, (0, 3, 4, 1, 2))  # [B, H, W, D, G]
+                fv = fv.reshape(b, h, w, d * self.groups)
+                # D-sharded build: the folded minor mixes the cv-sharded D
+                # axis, so the all-gather happens at this constraint
+                return _constrain(
+                    fv, P() if self.shard_depth else None), d
             vol = jnp.transpose(vol, (0, 1, 3, 4, 2))
             # D-sharded build: one all-gather of the finished volume before
             # the cost regularizer (the reduction/softmax point, reference
             # models/cost_volume.py:97-118)
-            return _constrain(vol, P() if self.shard_depth else None)
+            return _constrain(vol, P() if self.shard_depth else None), None
 
         # corr: [V-1, B, D, H, W, G]; entropy: [V-1, B, H, W, 1]
         vis = self.vis(entropy.reshape(nsrc * b, h, w, 1), train)
@@ -405,15 +453,17 @@ class StageNet(nn.Module):
         volume_sum = jnp.sum(corr * vis[:, :, None], axis=1)  # psum over cv
         vis_sum = jnp.sum(vis, axis=1)
         vol = volume_sum / (vis_sum[:, None] + 1e-6)
-        return _constrain(vol, P() if self.shard_depth else None)
+        return _constrain(vol, P() if self.shard_depth else None), None
 
     def __call__(self, features: Array, cams: Array, depth_values: Array,
                  tmp: float = 1.0, position3d: Optional[Array] = None,
                  train: bool = False, volume_mean: Optional[Array] = None) -> dict:
         """Full stage. `volume_mean` short-circuits cost-volume construction
-        (for callers that build it externally)."""
+        (for callers that build it externally; [B, D, H, W, G] layout)."""
+        folded_d = None
         if volume_mean is None:
-            volume_mean = self.build_volume(features, cams, depth_values, train)
+            volume_mean, folded_d = self._build_volume_impl(
+                features, cams, depth_values, train)
 
         if self.cost_reg_type == "PureTransformerCostReg":
             # train passed positionally: it's a remat static_argnum when
@@ -421,7 +471,8 @@ class StageNet(nn.Module):
             reg = self.cost_reg(volume_mean.astype(self.dtype), position3d,
                                 train)
         else:
-            reg = self.cost_reg(volume_mean.astype(self.dtype), train)
+            reg = self.cost_reg(volume_mean.astype(self.dtype), train,
+                                folded_d)
 
         prob_pre = reg[..., 0].astype(jnp.float32)  # [B, D, H, W]
         prob_volume = jax.nn.softmax(prob_pre, axis=1)

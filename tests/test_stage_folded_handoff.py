@@ -1,0 +1,103 @@
+"""Folded volume handoff: StageNet building the cost volume directly in the
+regularizer's folded [B, H, W, D*G] layout (reg_layout='dfold') must equal
+the plain path (reg_layout='ndhwc' + [B, D, H, W, G] volume) on the SAME
+parameters. The handoff replaces two transposes per U-Net stage (the
+16x-lane-padded [.., G]-minor intermediate) with one.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvsformerplusplus_tpu.models.stagenet import StageNet
+
+
+def _stage_inputs(rng, b=1, v=3, h=24, w=32, c=8, d=8):
+    feats = rng.rand(b, v, h, w, c).astype(np.float32)
+    cam = np.zeros((b, v, 2, 4, 4), dtype=np.float32)
+    for vi in range(v):
+        ang = 0.1 * vi
+        cs, sn = np.cos(ang), np.sin(ang)
+        ext = np.eye(4, dtype=np.float32)
+        ext[:3, :3] = np.array([[cs, 0, sn], [0, 1, 0], [-sn, 0, cs]],
+                               dtype=np.float32)
+        ext[0, 3] = 0.3 * vi
+        cam[:, vi, 0] = ext
+        cam[:, vi, 1, :3, :3] = np.array(
+            [[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]], dtype=np.float32)
+    dvals = np.linspace(2.5, 8.0, d, dtype=np.float32)[None].repeat(b, 0)
+    return (jnp.asarray(feats), jnp.asarray(cam), jnp.asarray(dvals))
+
+
+def _mk(d, reg_layout, warp_mode, **kw):
+    return StageNet(ndepth=d, groups=8, cost_reg_type="Normal",
+                    depth_type="ce", reg_layout=reg_layout,
+                    warp_mode=warp_mode, banded_ky=16, fold_depth=False,
+                    **kw)
+
+
+@pytest.mark.parametrize("d", [8, 16])  # CostRegNet3D (d<=8) and CostRegNet
+@pytest.mark.parametrize("warp_mode", ["banded", "xgrouped"])
+def test_folded_handoff_matches_plain(d, warp_mode):
+    # same warp mode on both sides: this isolates the LAYOUT handoff (warp
+    # parity itself is covered by tests/test_grid_sample.py)
+    rng = np.random.RandomState(d)
+    feats, cam, dvals = _stage_inputs(rng, d=d)
+    plain = _mk(d, "ndhwc", warp_mode)
+    fold = _mk(d, "dfold", warp_mode)
+
+    variables = jax.jit(
+        lambda r: plain.init(r, feats, cam, dvals))(jax.random.PRNGKey(0))
+    ref = jax.jit(lambda v: plain.apply(v, feats, cam, dvals))(variables)
+    got = jax.jit(lambda v: fold.apply(v, feats, cam, dvals))(variables)
+    np.testing.assert_allclose(np.asarray(got["depth"]),
+                               np.asarray(ref["depth"]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got["prob_volume"]),
+                               np.asarray(ref["prob_volume"]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_build_volume_wrapper_unfolds():
+    """External-caller contract: build_volume returns [B, D, H, W, G]
+    regardless of reg_layout (the wrapper inverts the folded handoff)."""
+    rng = np.random.RandomState(7)
+    feats, cam, dvals = _stage_inputs(rng, d=8)
+    plain = _mk(8, "ndhwc", "banded")
+    fold = _mk(8, "dfold", "banded")
+    variables = jax.jit(
+        lambda r: plain.init(r, feats, cam, dvals))(jax.random.PRNGKey(1))
+    ref = jax.jit(lambda v: plain.apply(
+        v, feats, cam, dvals, train=False,
+        method=lambda m, *a, **k: m.build_volume(*a, **k)))(variables)
+    got = jax.jit(lambda v: fold.apply(
+        v, feats, cam, dvals, train=False,
+        method=lambda m, *a, **k: m.build_volume(*a, **k)))(variables)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_folded_handoff_gradients(d=8):
+    """Training path: gradients through the folded handoff match plain."""
+    rng = np.random.RandomState(3)
+    feats, cam, dvals = _stage_inputs(rng, d=d)
+    plain = _mk(d, "ndhwc", "banded")
+    fold = _mk(d, "dfold", "banded")
+    variables = plain.init(jax.random.PRNGKey(2), feats, cam, dvals)
+
+    def loss(mod, params):
+        out, _ = mod.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            feats, cam, dvals, train=True, mutable=["batch_stats"])
+        return jnp.sum(out["prob_volume_pre"] ** 2)
+
+    gp = jax.jit(jax.grad(lambda p: loss(plain, p)))(variables["params"])
+    gf = jax.jit(jax.grad(lambda p: loss(fold, p)))(variables["params"])
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(gp),
+                   key=lambda kv: jax.tree_util.keystr(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(gf),
+                   key=lambda kv: jax.tree_util.keystr(kv[0]))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4, err_msg=str(ka))
