@@ -74,14 +74,22 @@ class ConvBlock(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         use_bias = self.norm == "none"
         ks = (self.kernel_size, self.kernel_size)
-        x = nn.Conv(
-            self.features,
-            ks,
-            strides=(self.stride, self.stride),
-            padding=sym_pad(ks),
-            use_bias=use_bias,
-            dtype=self.dtype,
-        )(x)
+        if self.stride == 1:
+            # MMConv routes to the Pallas fused conv / shifted matmuls on
+            # TPU (the encoder's full-res 7x7/5x5/3x3 stride-1 stack is in
+            # XLA-conv's worst narrow-channel regime); named to keep
+            # nn.Conv's auto checkpoint path
+            x = MMConv(self.features, ks, use_bias=use_bias,
+                       dtype=self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                ks,
+                strides=(self.stride, self.stride),
+                padding=sym_pad(ks),
+                use_bias=use_bias,
+                dtype=self.dtype,
+            )(x)
         if self.norm == "BN":
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -228,31 +236,32 @@ class MMConv(nn.Module):
         b = (self.param("bias", nn.initializers.zeros, (self.features,))
              if self.use_bias else None)
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        if ks == (3, 3) and on_tpu:
-            from ..ops.pallas.conv2d import conv3x3_p, conv3x3_viable
+        if ks[0] == ks[1] and ks[0] in (3, 5, 7) and on_tpu:
+            from ..ops.pallas.conv2d import conv2d_p, conv2d_viable
 
-            # Pallas fused conv: ONE input read + 9 shifted MXU dots
+            # Pallas fused conv: ONE input read + ky*3 shifted MXU dots
             # (ops/pallas/conv2d.py) — XLA's conv moves ~6x the bytes and
-            # the XLA shifted-matmul form re-reads the input 9x (the
+            # the XLA shifted-matmul form re-reads the input k*k times (the
             # shifted operands materialize; 47.6 ms on the 64-ch head).
             # Wide-channel full-width inputs exceed the kernel's VMEM
             # budget whole; CHANNEL-SPLITTING them is exact (conv is linear
             # in input-channel groups) and keeps total bytes unchanged.
             for cc in (ci, ci // 2, ci // 4, ci // 8):
-                if (cc >= 8 and ci % max(cc, 1) == 0
-                        and conv3x3_viable(x.shape[1], x.shape[2], cc,
-                                           self.features)):
+                if ((cc >= 8 or cc == ci) and cc >= 1
+                        and ci % max(cc, 1) == 0
+                        and conv2d_viable(x.shape[1], x.shape[2], cc,
+                                          self.features, ks[0], ks[1])):
                     xd = x.astype(self.dtype)
                     kd = k.astype(self.dtype)
                     # fp32 partial-sum accumulation (each kernel call
                     # accumulates fp32 internally; the cross-chunk sum
                     # must not round per-chunk in bf16)
-                    y = conv3x3_p(xd[..., :cc],
-                                  kd[:, :, :cc]).astype(jnp.float32)
+                    y = conv2d_p(xd[..., :cc],
+                                 kd[:, :, :cc]).astype(jnp.float32)
                     for s in range(cc, ci, cc):
-                        y = y + conv3x3_p(xd[..., s:s + cc],
-                                          kd[:, :, s:s + cc]
-                                          ).astype(jnp.float32)
+                        y = y + conv2d_p(xd[..., s:s + cc],
+                                         kd[:, :, s:s + cc]
+                                         ).astype(jnp.float32)
                     if b is not None:
                         y = y + b
                     return y.astype(self.dtype)

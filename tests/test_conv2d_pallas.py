@@ -76,3 +76,48 @@ def test_conv3x3_channel_split_is_exact():
         for s in range(0, 64, 16))
     np.testing.assert_allclose(np.asarray(parts), np.asarray(whole),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("k,ci,co,h,w", [(5, 8, 8, 16, 128),
+                                         (7, 3, 8, 16, 96),
+                                         (5, 16, 8, 24, 256),
+                                         (7, 8, 8, 16, 128)])
+def test_conv_odd_k_matches_xla(k, ci, co, h, w):
+    """Generalized odd-k kernel (5x5 / 7x7 — the FPN encoder's full-res
+    stack, reference models/module.py:208-239)."""
+    from mvsformerplusplus_tpu.ops.pallas.conv2d import (conv2d_p,
+                                                         conv2d_viable)
+    assert conv2d_viable(h, w, ci, co, k, k)
+    rng = np.random.RandomState(k * ci + co)
+    x = jnp.asarray(rng.randn(2, h, w, ci).astype(np.float32))
+    kk = jnp.asarray(rng.randn(k, k, ci, co).astype(np.float32) * 0.1)
+    p = (k - 1) // 2
+    got = jax.jit(conv2d_p)(x, kk)
+    ref = jax.jit(lambda x, kk: jax.lax.conv_general_dilated(
+        x, kk, (1, 1), [(p, p), (p, p)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")))(x, kk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_conv_odd_k_grads_match_xla():
+    from mvsformerplusplus_tpu.ops.pallas.conv2d import conv2d_p
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(1, 16, 128, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(5, 5, 8, 8).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.randn(1, 16, 128, 8).astype(np.float32))
+
+    def loss(f):
+        def inner(x, k):
+            return jnp.sum(f(x, k) * g)
+        return inner
+
+    ref_conv = lambda x, k: jax.lax.conv_general_dilated(
+        x, k, (1, 1), [(2, 2), (2, 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    gx_p, gk_p = jax.jit(jax.grad(loss(conv2d_p), argnums=(0, 1)))(x, k)
+    gx_r, gk_r = jax.jit(jax.grad(loss(ref_conv), argnums=(0, 1)))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_r),
+                               rtol=1e-4, atol=1e-4)
