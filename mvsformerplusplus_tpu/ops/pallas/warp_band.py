@@ -71,6 +71,15 @@ def _row_window(x0i, w: int, bu: int):
     return pl.multiple_of(cu0, 128)
 
 
+def _row_window_robust(x0i, w: int, bu: int):
+    """Like _row_window but diverged/out-of-image samples cannot pin the
+    anchor (they get zero weight/gradient regardless, so they need no
+    window coverage)."""
+    lo = jnp.min(jnp.where((x0i >= -1) & (x0i <= w - 1), x0i, jnp.int32(w)))
+    cu0 = jnp.clip((lo // 128) * 128, 0, w - bu)
+    return pl.multiple_of(cu0, 128)
+
+
 def _fwd_kernel(band_ref, x_ref, dyr_ref, fy_ref, out_ref,
                 *, c: int, gy: int, ky: int, w: int, bu: int):
     """One (band, depth, x-block) program covering gy output rows.
@@ -118,23 +127,40 @@ def _fwd_kernel(band_ref, x_ref, dyr_ref, fy_ref, out_ref,
 
 
 def _bwd_kernel(g_ref, x_ref, dyr_ref, fy_ref, dband_ref,
-                *, c: int, gy: int, ky: int, w: int):
-    """Transpose of _fwd_kernel (full-width contraction): dband [1, ky*C, W]
-    accumulated across the (depth, x-block) grid steps sharing one band."""
+                *, c: int, gy: int, ky: int, w: int, bu: int):
+    """Transpose of _fwd_kernel: dband [1, ky*C, W] accumulated across the
+    (depth, x-block) grid steps sharing one band. The contraction is
+    WINDOWED like the forward's (dband columns outside the row-block's
+    128-aligned [BU] window get zero gradient — exactly the samples the
+    windowed forward zeroes), cutting the transposed matmuls' output tiles
+    W/BU-fold (train 512x640 stage4: 5 -> 3 column tiles)."""
     x = x_ref[0]
     dyr = dyr_ref[0]
     fy = fy_ref[0]
     bx = x.shape[-1]
 
-    contrib = jnp.zeros((ky * c, w), jnp.float32)
+    first = pl.program_id(1) == 0
+
+    @pl.when(first)
+    def _init():
+        dband_ref[0] = jnp.zeros_like(dband_ref[0])
+
+    x0_all = jnp.floor(x)
+    x0i_all = x0_all.astype(jnp.int32)
+    if bu < w:
+        cu0 = _row_window_robust(x0i_all, w, bu)
+        x0i_all = x0i_all - cu0
+    else:
+        cu0 = 0
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (bu, bx), 0)
+
+    contrib = jnp.zeros((ky * c, bu), jnp.float32)
     for r in range(gy):
-        xr = x[r:r + 1]
-        x0 = jnp.floor(xr)
-        fx = xr - x0
-        x0i = x0.astype(jnp.int32)
-        iota_u = jax.lax.broadcasted_iota(jnp.int32, (w, bx), 0)
-        a0 = (iota_u == x0i).astype(jnp.float32)
-        a1 = (iota_u == (x0i + 1)).astype(jnp.float32)
+        x0i = x0i_all[r:r + 1]
+        fx = x[r:r + 1] - x0_all[r:r + 1]
+        diff = iota_u - x0i
+        a0 = (diff == 0).astype(jnp.float32)
+        a1 = (diff == 1).astype(jnp.float32)
 
         g = g_ref[:, 0, r, :]               # [C, BX] f32
         dyr_r = dyr[r:r + 1]
@@ -151,14 +177,10 @@ def _bwd_kernel(g_ref, x_ref, dyr_ref, fy_ref, dband_ref,
         contrib = contrib + jax.lax.dot_general(
             drv * fx, a1, dn, preferred_element_type=jnp.float32)
 
-    first = pl.program_id(1) == 0
-
-    @pl.when(first)
-    def _init():
-        dband_ref[0] = contrib
-
-    @pl.when(jnp.logical_not(first))
-    def _acc():
+    if bu < w:
+        cur = dband_ref[0, :, pl.ds(cu0, bu)]
+        dband_ref[0, :, pl.ds(cu0, bu)] = cur + contrib
+    else:
         dband_ref[0] = dband_ref[0] + contrib
 
 
@@ -208,18 +230,24 @@ def banded_warp_rows(bands: Array, x_src: Array, dyr: Array, fy: Array,
 def banded_warp_rows_bwd(g: Array, x_src: Array, dyr: Array, fy: Array,
                          c: int, gy: int, ky: int, w: int,
                          d_shared: int = 1, hg: int = 1,
-                         band_dtype=jnp.float32) -> Array:
-    """dbands [NB, ky*C, W] from dout g [C, NBROWS, gy, W]."""
+                         band_dtype=jnp.float32, bu: int = 0) -> Array:
+    """dbands [NB, ky*C, W] from dout g [C, NBROWS, gy, W].
+
+    bu: contraction window (0 -> min(w, bx + 256), rounded to 128; same
+    economics as the forward's window)."""
     nbrows = x_src.shape[0]
     nb = nbrows // d_shared
     bx = _bx_for(w)
     nj = w // bx
+    if bu <= 0:
+        bu = min(w, bx + 256)
+    bu = min(w, -(-bu // 128) * 128)
     rg = _rg_map(d_shared, hg)
     wspec = pl.BlockSpec((1, gy, bx),
                          lambda i, s: (rg(i, s // nj), 0, s % nj))
 
     dbands = pl.pallas_call(
-        functools.partial(_bwd_kernel, c=c, gy=gy, ky=ky, w=w),
+        functools.partial(_bwd_kernel, c=c, gy=gy, ky=ky, w=w, bu=bu),
         grid=(nb, d_shared * nj),
         in_specs=[
             pl.BlockSpec((c, 1, gy, bx),

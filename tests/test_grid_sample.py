@@ -646,3 +646,41 @@ def test_banded_blocked_path_matches_plain():
     gp = jax.grad(loss_p)(jnp.asarray(feat))
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gp),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_banded_warp_grad_windowed_wide_w():
+    """Wide-W banded backward: W=640 activates the bwd kernel's WINDOWED
+    contraction (bu=384 < W; train-crop width class). Gradients must match
+    the per-sample sampler — the window covers every in-image sample's
+    columns by the same rule the forward uses."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(29)
+    b, h, w, c, d = 1, 48, 640, 8, 2
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.03, tx=0.2)
+    ref_proj = jnp.asarray(compose(ref_intr, ref_ext)[None])
+    src_proj = jnp.asarray(compose(src_intr, src_ext)[None])
+    dv = jnp.asarray(np.linspace(3.8, 4.2, d, dtype=np.float32)[None])
+    g = jnp.asarray(rng.randn(c, b, d, h * w).astype(np.float32))
+
+    from mvsformerplusplus_tpu.ops.grid_sample import (
+        homography_warp,
+        homography_warp_banded,
+    )
+
+    def loss_plain(x):
+        warped, _ = homography_warp(x, src_proj, ref_proj, dv)
+        return jnp.sum(
+            jnp.moveaxis(warped, -1, 0).reshape(c, b, d, h * w) * g)
+
+    def loss_banded(x):
+        warped, _ = homography_warp_banded(x, src_proj, ref_proj, dv, ky=16)
+        return jnp.sum(warped * g)
+
+    gr = jax.jit(jax.grad(loss_plain))(jnp.asarray(feat))
+    gb = jax.jit(jax.grad(loss_banded))(jnp.asarray(feat))
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
