@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.pe import position_encoding_3d
+from ..ops.pe import position_encoding_3d, position_encoding_3d_parts
 from .blocks import FlashAttnBlock
 from .layers import (Conv3dBlock, Deconv3dBlock, LayerNorm3D, _ConvKernel,
                      fold_conv3d_kernel)
@@ -266,27 +266,66 @@ class PureTransformerCostReg(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, position3d: Optional[Array] = None,
-                 train: bool = False) -> Array:
-        b, d, h, w, c = x.shape
+                 train: bool = False, folded_d: Optional[int] = None) -> Array:
+        rd, rh, rw = self.down_rate
+        cb = self.base_channel
+        if folded_d is not None:
+            # FOLDED path: x arrives [B, H, W, D*C] (StageNet handoff). The
+            # whole patchify/unpatchify pair becomes reshapes + einsums on
+            # compact layouts — the plain path's [B, D, H, W, C<=24]
+            # intermediates each lane-pad 5-16x at stage-1 eval scale.
+            b, h, w, dc = x.shape
+            d = folded_d
+            c = dc // d
+            assert d % rd == 0 and h % rh == 0 and w % rw == 0, (x.shape,
+                                                                 self.down_rate)
+        else:
+            b, d, h, w, c = x.shape
+
         if position3d is not None and self.position_encoding:
             if self.use_pe_proj:
-                pe = position_encoding_3d(position3d, self.base_channel)  # [B,D,H,W,3C]
-                k, _ = _ConvKernel((1, 1, 1, pe.shape[-1], self.base_channel),
-                                   name="pe_proj")()
-                pe = jnp.einsum("bdhwc,co->bdhwo", pe.astype(self.dtype),
-                                k[0, 0, 0].astype(self.dtype))
+                k, _ = _ConvKernel((1, 1, 1, 3 * cb, cb), name="pe_proj")()
+                if folded_d is not None:
+                    inter = position_encoding_3d_parts(position3d, cb)
+                    k3 = k[0, 0, 0].reshape(3, cb, cb)
+                    pe = jnp.einsum("badhwc,aco->bhwdo",
+                                    inter.astype(self.dtype),
+                                    k3.astype(self.dtype))
+                    pe = pe.reshape(b, h, w, d * cb)
+                else:
+                    pe = position_encoding_3d(position3d, cb)  # [B,D,H,W,3C]
+                    pe = jnp.einsum("bdhwc,co->bdhwo", pe.astype(self.dtype),
+                                    k[0, 0, 0].astype(self.dtype))
             else:
-                pe = position_encoding_3d(position3d, c // 3).astype(self.dtype)
+                if folded_d is not None:
+                    inter = position_encoding_3d_parts(position3d, c // 3)
+                    # folded channel order per d: (axis a major, c minor) —
+                    # matches the unfolded 3C concat
+                    pe = jnp.transpose(inter, (0, 3, 4, 2, 1, 5)).reshape(
+                        b, h, w, d * 3 * (c // 3)).astype(self.dtype)
+                else:
+                    pe = position_encoding_3d(position3d, c // 3).astype(self.dtype)
             x = x + pe
 
-        rd, rh, rw = self.down_rate
-        x = nn.Conv(self.mid_channel, (rd, rh, rw), strides=(rd, rh, rw),
-                    padding="VALID", dtype=self.dtype, name="down")(x)
-        x = LayerNorm3D(dtype=self.dtype, name="down_norm")(x)
+        if folded_d is not None:
+            wd, bd_ = _ConvKernel((rd, rh, rw, c, self.mid_channel),
+                                  use_bias=True, name="down")()
+            d2, h2, w2 = d // rd, h // rh, w // rw
+            x8 = x.reshape(b, h2, rh, w2, rw, d2, rd, c)
+            y = jnp.einsum("bhywxdzc,zyxco->bhwdo", x8.astype(self.dtype),
+                           wd.astype(self.dtype)) + bd_.astype(self.dtype)
+            y = LayerNorm3D(dtype=self.dtype, name="down_norm")(y)
+            # (h w d) token order, d fastest — the folded layout's natural
+            # reshape (the plain path needs a transpose here)
+            tokens = y.reshape(b, h2 * w2 * d2, self.mid_channel)
+        else:
+            xc = nn.Conv(self.mid_channel, (rd, rh, rw), strides=(rd, rh, rw),
+                         padding="VALID", dtype=self.dtype, name="down")(x)
+            xc = LayerNorm3D(dtype=self.dtype, name="down_norm")(xc)
+            d2, h2, w2 = xc.shape[1], xc.shape[2], xc.shape[3]
+            tokens = jnp.transpose(xc, (0, 2, 3, 1, 4)).reshape(
+                b, h2 * w2 * d2, self.mid_channel)
 
-        bd, bh, bw = x.shape[1], x.shape[2], x.shape[3]
-        # (h w d) token order, d fastest
-        tokens = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, bh * bw * bd, self.mid_channel)
         for i in range(self.layer_num):
             tokens = FlashAttnBlock(
                 dim=self.mid_channel, num_heads=self.num_heads,
@@ -295,14 +334,35 @@ class PureTransformerCostReg(nn.Module):
                 train_avg_length=self.train_avg_length,
                 post_norm=True, dtype=self.dtype, name=f"block{i}",
             )(tokens)
-        x = tokens.reshape(b, bh, bw, bd, self.mid_channel).transpose(0, 3, 1, 2, 4)
 
-        x = nn.ConvTranspose(self.base_channel, (rd, rh, rw), strides=(rd, rh, rw),
-                             padding="VALID", dtype=self.dtype, name="up")(x)
-        x = LayerNorm3D(dtype=self.dtype, name="up_norm")(x)
+        if folded_d is not None:
+            wu, bu = _ConvKernel((rd, rh, rw, self.mid_channel, cb),
+                                 use_bias=True, name="up")()
+            kh, khb = _ConvKernel((1, 1, 1, cb, 1), use_bias=True,
+                                  name="prob")()
+            t = tokens.reshape(b, h2, w2, d2, self.mid_channel)
+            # VALID k=s ConvTranspose == pixel-shuffle with the spatially
+            # FLIPPED kernel (flax convention; probed against
+            # nn.ConvTranspose)
+            kf = jnp.flip(wu, (0, 1, 2)).astype(self.dtype)
+            u = jnp.einsum("bhwdm,zyxmo->bhywxdzo", t, kf)
+            u = u.reshape(b, h, w, d, cb) + bu.astype(self.dtype)
+            u = LayerNorm3D(dtype=self.dtype, name="up_norm")(u)
+            yo = jnp.einsum("bhwdc,co->bhwdo", u,
+                            kh[0, 0, 0].astype(self.dtype))
+            yo = yo + khb.astype(self.dtype)
+            # unfold for the caller's [B, D, H, W, out] contract (out=1-2:
+            # the cheap side of the layout boundary)
+            return jnp.transpose(yo, (0, 3, 1, 2, 4))
+        xv = tokens.reshape(b, h2, w2, d2, self.mid_channel).transpose(
+            0, 3, 1, 2, 4)
+        xv = nn.ConvTranspose(cb, (rd, rh, rw), strides=(rd, rh, rw),
+                              padding="VALID", dtype=self.dtype,
+                              name="up")(xv)
+        xv = LayerNorm3D(dtype=self.dtype, name="up_norm")(xv)
         # 1x1x1 head as an einsum: the nn.Conv form measured 9.4 ms at
         # 2 GB/s on the r3b eval trace (lane-padded C=8 volume layout)
-        k, bias = _ConvKernel((1, 1, 1, x.shape[-1], 1), use_bias=True,
+        kh, khb = _ConvKernel((1, 1, 1, cb, 1), use_bias=True,
                               name="prob")()
-        y = jnp.einsum("bdhwc,co->bdhwo", x, k[0, 0, 0].astype(self.dtype))
-        return y + bias.astype(self.dtype)
+        y2 = jnp.einsum("bdhwc,co->bdhwo", xv, kh[0, 0, 0].astype(self.dtype))
+        return y2 + khb.astype(self.dtype)

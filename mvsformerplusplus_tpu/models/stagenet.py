@@ -155,8 +155,10 @@ class StageNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     def _fold_handoff(self) -> bool:
-        return (self.cost_reg_type != "PureTransformerCostReg"
-                and _auto_layout(self.reg_layout) == "dfold")
+        # U-Nets consume the folded layout natively (layout='dfold'); the
+        # CTA regularizer's folded branch turns patchify/unpatchify into
+        # reshape+einsum on compact layouts
+        return _auto_layout(self.reg_layout) == "dfold"
 
     def setup(self):
         self.vis = VisibilityNet(dtype=self.dtype)
@@ -181,7 +183,7 @@ class StageNet(nn.Module):
             if "down_rate" in cfg:
                 cfg["down_rate"] = tuple(cfg["down_rate"])
             # __call__(self, x, position3d, train): train (static) is arg 3
-            cls = (nn.remat(PureTransformerCostReg, static_argnums=(3,))
+            cls = (nn.remat(PureTransformerCostReg, static_argnums=(3, 4))
                    if self.remat_cost_reg else PureTransformerCostReg)
             self.cost_reg = cls(base_channel=self.groups, dtype=self.dtype,
                                 **cfg)
@@ -453,6 +455,10 @@ class StageNet(nn.Module):
         volume_sum = jnp.sum(corr * vis[:, :, None], axis=1)  # psum over cv
         vis_sum = jnp.sum(vis, axis=1)
         vol = volume_sum / (vis_sum[:, None] + 1e-6)
+        if self._fold_handoff():
+            fv = jnp.transpose(vol, (0, 2, 3, 1, 4)).reshape(
+                b, h, w, d * self.groups)
+            return _constrain(fv, P() if self.shard_depth else None), d
         return _constrain(vol, P() if self.shard_depth else None), None
 
     def __call__(self, features: Array, cams: Array, depth_values: Array,
@@ -469,7 +475,7 @@ class StageNet(nn.Module):
             # train passed positionally: it's a remat static_argnum when
             # remat_cost_reg wraps the regularizer (kwargs can't be static)
             reg = self.cost_reg(volume_mean.astype(self.dtype), position3d,
-                                train)
+                                train, folded_d)
         else:
             reg = self.cost_reg(volume_mean.astype(self.dtype), train,
                                 folded_d)

@@ -51,12 +51,12 @@ def add_sine_pe(x: Array, max_shape=(128, 128)) -> Array:
     return x + sine_pe_2d(c, h, w, max_shape).astype(x.dtype)
 
 
-def position_encoding_3d(position3d: Array, channels: int, rescale: float = 4.0) -> Array:
-    """Sin/cos encoding of normalized frustum XYZ.
-
-    position3d: [B, 3, D, H, W] in [0, 1] -> [B, D, H, W, 3*channels]
-    (reference models/position_encoding.py:164-189, channel-last here).
-    """
+def position_encoding_3d_parts(position3d: Array, channels: int,
+                               rescale: float = 4.0) -> Array:
+    """Per-axis sin/cos encoding BEFORE the axis concat: [B, 3, D, H, W, C]
+    (axis a holds x/y/z; channel interleaves sin/cos). The folded CTA path
+    consumes this directly so the [B, D, H, W, 3C] intermediate (3C=24
+    minor: 5x lane padding) never materializes."""
     b, _, d, h, w = position3d.shape
     div = jnp.exp(
         jnp.arange(0, channels, 2, dtype=jnp.float32) * (-math.log(10000.0) / channels)
@@ -66,6 +66,16 @@ def position_encoding_3d(position3d: Array, channels: int, rescale: float = 4.0)
     sin = jnp.sin(ang)
     cos = jnp.cos(ang)
     # interleave sin/cos along the channel axis: pe[0::2]=sin, pe[1::2]=cos
-    inter = jnp.stack([sin, cos], axis=-1).reshape(b, 3, d, h, w, channels)
+    return jnp.stack([sin, cos], axis=-1).reshape(b, 3, d, h, w, channels)
+
+
+def position_encoding_3d(position3d: Array, channels: int, rescale: float = 4.0) -> Array:
+    """Sin/cos encoding of normalized frustum XYZ.
+
+    position3d: [B, 3, D, H, W] in [0, 1] -> [B, D, H, W, 3*channels]
+    (reference models/position_encoding.py:164-189, channel-last here).
+    """
+    b, _, d, h, w = position3d.shape
+    inter = position_encoding_3d_parts(position3d, channels, rescale)
     # axis order x, y, z concatenated -> [B, D, H, W, 3C]
     return jnp.moveaxis(inter, 1, -2).reshape(b, d, h, w, 3 * channels)

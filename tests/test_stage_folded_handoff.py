@@ -101,3 +101,61 @@ def test_folded_handoff_gradients(d=8):
                    key=lambda kv: jax.tree_util.keystr(kv[0]))):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4, err_msg=str(ka))
+
+
+@pytest.mark.parametrize("use_pe_proj", [True, False])
+def test_cta_folded_matches_plain(use_pe_proj):
+    """PureTransformerCostReg folded branch (reshape+einsum patchify /
+    pixel-shuffle unpatchify on [B,H,W,D*C]) == the plain NDHWC path on the
+    SAME parameters."""
+    from mvsformerplusplus_tpu.models.cost_reg import PureTransformerCostReg
+
+    rng = np.random.RandomState(11)
+    b, d, h, w, c = 1, 8, 16, 16, 8
+    x = jnp.asarray(rng.randn(b, d, h, w, c).astype(np.float32))
+    pos = jnp.asarray(rng.rand(b, 3, d, h, w).astype(np.float32))
+    # use_pe_proj=False adds the raw 3*(c//3) encoding: c//3 must be even
+    # (sin/cos interleave), so c % 6 == 0
+    cc = c if use_pe_proj else 12
+    if not use_pe_proj:
+        x = jnp.asarray(rng.randn(b, d, h, w, cc).astype(np.float32))
+    mod = PureTransformerCostReg(base_channel=cc, mid_channel=16,
+                                 num_heads=2, layer_num=2,
+                                 down_rate=(2, 4, 4),
+                                 use_pe_proj=use_pe_proj,
+                                 train_avg_length=128)
+    variables = jax.jit(lambda r: mod.init(r, x, pos, False))(
+        jax.random.PRNGKey(3))
+    ref = jax.jit(lambda v: mod.apply(v, x, pos, False))(variables)
+    xf = jnp.transpose(x, (0, 2, 3, 1, 4)).reshape(b, h, w, d * cc)
+    got = jax.jit(lambda v: mod.apply(v, xf, pos, False, d))(variables)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cta_stage_folded_full_call():
+    """StageNet with a transformer reg + reg_layout dfold == ndhwc."""
+    rng = np.random.RandomState(21)
+    feats, cam, dvals = _stage_inputs(rng, d=8, h=24, w=32)
+    tc = dict(mid_channel=16, num_heads=2, layer_num=2, down_rate=(2, 4, 4),
+              train_avg_length=128)
+    mk = lambda lay: StageNet(ndepth=8, groups=8,
+                              cost_reg_type="PureTransformerCostReg",
+                              depth_type="ce", transformer_config=tc,
+                              reg_layout=lay, warp_mode="banded",
+                              banded_ky=16, fold_depth=False)
+    pos = jnp.asarray(rng.rand(1, 3, 8, 24, 32).astype(np.float32))
+    plain = mk("ndhwc")
+    fold = mk("dfold")
+    variables = jax.jit(
+        lambda r: plain.init(r, feats, cam, dvals, 1.0, pos))(
+            jax.random.PRNGKey(5))
+    ref = jax.jit(lambda v: plain.apply(v, feats, cam, dvals, 1.0, pos))(
+        variables)
+    got = jax.jit(lambda v: fold.apply(v, feats, cam, dvals, 1.0, pos))(
+        variables)
+    np.testing.assert_allclose(np.asarray(got["depth"]),
+                               np.asarray(ref["depth"]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got["prob_volume"]),
+                               np.asarray(ref["prob_volume"]),
+                               rtol=2e-4, atol=2e-4)
