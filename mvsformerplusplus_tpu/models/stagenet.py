@@ -368,13 +368,20 @@ class StageNet(nn.Module):
             warped, _ = homography_warp(
                 src_feat_b, src_proj_b, ref_proj, depth_values
             )  # [B, D, H, W, C] f32
-            corr_v = groupwise_correlation(warped, ref_feat, self.groups)
+            # FULL-C product, NOT the G-channel correlation: the grouped
+            # mean commutes with the view-weighted sum (both linear), so
+            # deferring it to the final fold keeps every intermediate at
+            # C=32-64 lanes instead of G=8 (16x tile padding). Same numbers
+            # as groupwise_correlation -> weighted mean (reference
+            # models/cost_volume.py:79-101) up to fp reassociation.
+            prod_v = warped.astype(jnp.float32) * ref_feat[:, None]
             # entropy of the depth-softmax of the summed correlation
-            # (stop-grad, reference models/cost_volume.py:89-93)
-            sim = jax.lax.stop_gradient(jnp.sum(corr_v, axis=-1))
+            # (stop-grad, reference models/cost_volume.py:89-93):
+            # sum_g corr_g == sum_c prod_c / sub
+            sim = jax.lax.stop_gradient(jnp.sum(prod_v, axis=-1) / sub)
             p = jax.nn.softmax(sim, axis=1)
             entropy_v = -jnp.sum(p * jnp.log(p + 1e-7), axis=1)[..., None]
-            return corr_v, entropy_v
+            return prod_v, entropy_v
 
         src_feats_t = jnp.swapaxes(src_feats, 0, 1)  # [V-1, B, H, W, C]
         src_projs_t = jnp.swapaxes(src_projs, 0, 1)
@@ -445,20 +452,25 @@ class StageNet(nn.Module):
             # models/cost_volume.py:97-118)
             return _constrain(vol, P() if self.shard_depth else None), None
 
-        # corr: [V-1, B, D, H, W, G]; entropy: [V-1, B, H, W, 1]
+        # corr: [V-1, B, D, H, W, C] (full-C products); entropy: [V-1, B, H, W, 1]
         vis = self.vis(entropy.reshape(nsrc * b, h, w, 1), train)
         corr = _constrain(_constrain(
-            jnp.swapaxes(corr, 0, 1), vspec), dspec)  # [B, V-1, D, H, W, G]
+            jnp.swapaxes(corr, 0, 1), vspec), dspec)  # [B, V-1, D, H, W, C]
         vis = _constrain(
             jnp.swapaxes(vis.reshape(nsrc, b, h, w, 1), 0, 1), vspec)
 
         volume_sum = jnp.sum(corr * vis[:, :, None], axis=1)  # psum over cv
         vis_sum = jnp.sum(vis, axis=1)
-        vol = volume_sum / (vis_sum[:, None] + 1e-6)
+        vol_c = volume_sum / (vis_sum[:, None] + 1e-6)  # [B, D, H, W, C]
+        v6 = vol_c.reshape(b, d, h, w, self.groups, sub)
         if self._fold_handoff():
-            fv = jnp.transpose(vol, (0, 2, 3, 1, 4)).reshape(
-                b, h, w, d * self.groups)
+            # fold + grouped mean in one pass: the [B, D, H, W, G]
+            # intermediate (G=8 minor: 16x lane padding) never materializes
+            fv = jnp.transpose(v6, (0, 2, 3, 1, 4, 5)).reshape(
+                b, h, w, d * self.groups, sub)
+            fv = jnp.mean(fv, axis=-1) if sub > 1 else fv[..., 0]
             return _constrain(fv, P() if self.shard_depth else None), d
+        vol = jnp.mean(v6, axis=-1) if sub > 1 else v6[..., 0]
         return _constrain(vol, P() if self.shard_depth else None), None
 
     def __call__(self, features: Array, cams: Array, depth_values: Array,
