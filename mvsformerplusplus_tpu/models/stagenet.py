@@ -297,11 +297,21 @@ class StageNet(nn.Module):
                     blocked = (not fold) and w % 128 == 0 and w >= 384
                     base_ky = (self.banded_ky if blocked
                                else max(self.banded_ky, 24))
+                    gy_b = self.xgrouped_gx
+                    ky_b = max(base_ky, self.fold_ky if fold
+                               else 2 * gy_b)
+                    if (blocked and not fold and c == 16 and h % 2 == 0
+                            and gy_b == 8 and self.banded_ky == 16):
+                        # C=16 auto plan: gy=2 row groups shrink the block
+                        # v-span so ky=8 holds (ZERO escapes at the DTU
+                        # protocol, tests/test_fold_window.py) — ky*C stays
+                        # at ONE MXU sublane tile, halving the one-hot
+                        # matmul passes vs ky=16. Applied only on the
+                        # default plan (explicit gy/ky overrides win).
+                        gy_b, ky_b = 2, 8
                     warped_cm, _ = homography_warp_banded(
                         src_feat_b, src_proj_b, ref_proj, depth_values,
-                        gy=self.xgrouped_gx,
-                        ky=max(base_ky, self.fold_ky if fold
-                               else 2 * self.xgrouped_gx),
+                        gy=gy_b, ky=ky_b,
                         fold_depth=fold,
                         band_budget=self.warp_patch_budget,
                     )  # C-MAJOR [C, B, D, N] — the kernel's native layout

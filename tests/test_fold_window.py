@@ -104,3 +104,22 @@ def test_banded_window_escapes_at_dtu_geometry():
             esc = banded_esc(proj, hypo, H // sc, W // sc, block_w=128,
                              ky=ky)
             assert max(esc) < (1e-9 if ky == 16 else 0.003), (sc, ky, esc)
+
+    # the C=16 auto plan (StageNet: gy=2 row groups, ky=8 bands) at the
+    # stage it serves (stage3): zero escapes
+    def banded_esc_gy(proj_stage, hypo, h, w, gy, ky):
+        ref_p = proj_stage[:, 0]
+        return [banded_escape_fraction(
+            np.asarray(plane_sweep_coords(
+                proj_stage[:, vi], ref_p, hypo, h, w)[0]),
+            h, w, gy=gy, ky=ky, block_w=128)
+            for vi in range(1, proj_stage.shape[1])]
+
+    hypo3 = init_inverse_range(dv, 32, H // 8, W // 8)
+    for nd, ratio, sc in ((16, 2.67, 4), (8, 1.5, 2)):
+        hypo3 = schedule_inverse_range(
+            hypo3[:, hypo3.shape[1] // 2], hypo3, nd, ratio,
+            H // sc, W // sc)
+    proj3 = compose_projection(jnp.asarray(cams["stage3"]))
+    esc = banded_esc_gy(proj3, hypo3, H // 2, W // 2, gy=2, ky=8)
+    assert max(esc) < 1e-9, ("stage3 gy2ky8", esc)

@@ -684,3 +684,34 @@ def test_banded_warp_grad_windowed_wide_w():
     gb = jax.jit(jax.grad(loss_banded))(jnp.asarray(feat))
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gr),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_banded_blocked_c16_short_band():
+    """The C=16 auto plan (gy=2 row groups, ky=8 bands): one MXU sublane
+    tile of one-hot matmul rows. Parity vs the per-sample sampler on
+    DTU-like geometry (tests/test_fold_window.py pins zero escapes at the
+    real protocol)."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(33)
+    b, h, w, c, d = 1, 32, 384, 16, 3
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.04, tx=0.15)
+    ref_proj = compose(ref_intr, ref_ext)[None]
+    src_proj = compose(src_intr, src_ext)[None]
+    dv = np.linspace(3.6, 4.4, d, dtype=np.float32)[None]
+
+    from mvsformerplusplus_tpu.ops.geometry import plane_sweep_coords
+    from mvsformerplusplus_tpu.ops.grid_sample import (
+        banded_escape_fraction, homography_warp_banded)
+
+    coords, _ = plane_sweep_coords(src_proj, ref_proj, dv, h, w)
+    assert banded_escape_fraction(
+        np.asarray(coords), h, w, gy=2, ky=8, block_w=128) < 1e-6
+
+    got, _ = homography_warp_banded(feat, src_proj, ref_proj,
+                                    jnp.asarray(dv), gy=2, ky=8)
+    got = np.asarray(got).reshape(c, b, d, h, w).transpose(1, 2, 3, 4, 0)
+    ref, _ = homography_warp(feat, src_proj, ref_proj, dv)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
