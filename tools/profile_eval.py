@@ -187,18 +187,23 @@ def run_components(only: str = ""):
     scales = {"stage1": 8, "stage2": 4, "stage3": 2, "stage4": 1}
     itv = float(dv[0, 1] - dv[0, 0])
 
-    def vol_module(d, mode, fold, gy=8, ky=16, max_c=16, budget=1 << 30):
+    def vol_module(d, mode, fold, gy=8, ky=16, max_c=16, budget=1 << 30,
+                   banded_ky=16):
         class VolOnly(nn.Module):
             @nn.compact
             def __call__(self, f, cam, dvv):
-                return StageNet(
+                st = StageNet(
                     ndepth=d, groups=8, cost_reg_type="Normal",
                     depth_type="ce", warp_mode=mode, fold_depth=fold,
-                    xgrouped_gx=gy, grouped_warp_kx=ky,
+                    xgrouped_gx=gy, grouped_warp_kx=ky, banded_ky=banded_ky,
                     # band-sharing a D=16 band needs the gate open up to 16
                     grouped_warp_th=(d if (fold or mode == "grouped") else 8),
                     pallas_max_c=max_c, warp_patch_budget=budget, dtype=DT,
-                ).build_volume(f, cam, dvv, train=False)
+                )
+                # measure the PRODUCTION output convention (folded handoff
+                # on TPU) without build_volume's external-caller unfold
+                vol, _fd = st._build_volume_impl(f, cam, dvv, False)
+                return vol
 
         return VolOnly()
 
@@ -216,48 +221,23 @@ def run_components(only: str = ""):
             offs = (jnp.arange(d, dtype=jnp.float32) - d / 2) * (itv * sc)
             dvals = ctr[:, None] + offs[None, :, None, None]
 
-        # production never folds stage1: its full-range 32-hypothesis sweep
-        # has no per-pixel band for one patch to cover (fold is unsound
-        # there, StageNet gates it off via full_range) — label the ablation
-        # rows so they don't read as achievable production speedups
-        unsound = " (unsound @s1, ablation only)" if s == "stage1" else ""
-        variants = [("folded", "folded", False, 8, 16, 16, 1 << 30),
-                    ("pallas", "pallas", False, 8, 16, 16, 1 << 30),
-                    (f"pallas+fold{unsound}", "pallas", True,
-                     8, 16, 16, 1 << 30),
-                    ("pallas gy16", "pallas", False, 16, 32, 16, 1 << 30),
-                    (f"pallas gy16+fold{unsound}", "pallas", True,
-                     16, 32, 16, 1 << 30),
-                    ("banded", "banded", False, 8, 16, 64, 1 << 30),
-                    (f"banded+fold{unsound}", "banded", True,
-                     8, 16, 64, 1 << 30),
-                    ("banded gy16", "banded", False, 16, 32, 64, 1 << 30),
-                    (f"banded gy16+fold{unsound}", "banded", True,
-                     16, 32, 64, 1 << 30)]
-        if s == "stage2":
-            # fold changes the C=32 economics (16x fewer indices); the
-            # pallas_max_c knob forces the gate open for the measurement
-            variants.append(
-                ("pallas+fold C32", "pallas", True, 8, 16, 32, 1 << 30))
-            # depth-band per-pixel patches, XLA blend: D=16 band in one
-            # [3, kx] patch per pixel — 16x fewer indices than folded
-            variants.append(
-                ("grouped kx16", "grouped", False, 8, 16, 16, 1 << 30))
-            variants.append(
-                ("grouped kx32", "grouped", False, 8, 32, 16, 1 << 30))
-        if s == "stage3":
-            variants.append(
-                ("grouped kx16", "grouped", False, 8, 16, 16, 1 << 30))
-        if s == "stage4":
-            # depth axis run whole (no lax.map chunking of the patch temp)
-            variants.append(
-                ("pallas nochunk", "pallas", False, 8, 16, 16, 6 << 30))
-            variants.append(
-                ("pallas gy16 nochunk", "pallas", False, 16, 32, 16, 6 << 30))
-        for label, mode, fold, gy, ky, max_c, budget in variants:
+        # r4 ablation set: the exact single-gather baseline, the r3 banded
+        # default (ky=24), the r4 default (ky=16; at C=16 the StageNet auto
+        # plan turns it into gy=2/ky=8), and a gy=4/ky=16 midpoint that
+        # bypasses the auto plan. (r3's full pallas/grouped sweep is
+        # committed in docs/profiles/.)
+        variants = [("folded", "folded", False, 8, 16, 16, 1 << 30, 16),
+                    ("banded ky24 (r3)", "banded", False, 8, 16, 64,
+                     1 << 30, 24),
+                    ("banded ky16/auto (r4)", "banded", False, 8, 16, 64,
+                     1 << 30, 16),
+                    ("banded gy4ky16", "banded", False, 4, 16, 64,
+                     1 << 30, 16)]
+        for label, mode, fold, gy, ky, max_c, budget, bky in variants:
             if only and only not in label:
                 continue
-            m = vol_module(d, mode, fold, gy, ky, max_c, budget)
+            m = vol_module(d, mode, fold, gy, ky, max_c, budget,
+                           banded_ky=bky)
             try:
                 vars_ = jax.jit(m.init)(
                     jax.random.PRNGKey(0), feats, cams[s], dvals)
