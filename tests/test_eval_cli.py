@@ -111,3 +111,24 @@ def test_eval_cli_end_to_end(tmp_path):
     from mvsformerplusplus_tpu.parallel.scheduler import WorkQueue
 
     assert WorkQueue(tmp_path / "out_q", [scan]).pending() == []
+
+
+def test_validate_warp_windows_tool(tmp_path):
+    """Pre-flight geometry validator (tools/validate_warp_windows.py) runs
+    the shipped escape diagnostics over a real on-disk scan and exits 0 on
+    sound geometry."""
+    import subprocess
+    import sys as _sys
+
+    scan = make_synthetic_scan(tmp_path / "data")
+    r = subprocess.run(
+        [_sys.executable, "tools/validate_warp_windows.py",
+         "--data", str(tmp_path / "data" / scan), "--num_views", "4",
+         "--ndepth", "48", "--resolution", "128x192",
+         "--native", "128x192", "--samples", "2"],
+        capture_output=True, text=True,
+        cwd=str(Path(__file__).resolve().parent.parent),
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PALLAS_AXON_POOL_IPS": ""})
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "OK" in r.stdout
