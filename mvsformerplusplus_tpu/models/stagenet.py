@@ -129,6 +129,11 @@ class StageNet(nn.Module):
     # path (narrow W) keeps >= 24: row-wide v-spans reach ~16-18.
     banded_ky: int = 16
     banded_max_c: int = 16
+    # fused-DMA blocked banded warp: band slabs stream straight from the
+    # source image in HBM inside the kernel (no materialized band tensor,
+    # ~3x less band traffic). Off until measured on-chip vs the gather
+    # formulation (ops/pallas/warp_band.py banded_warp_blocked_fused).
+    banded_fused: bool = False
     # cap (bytes) on the unfolded pallas path's materialized patch temp; the
     # depth axis is lax.map-chunked to stay under it. The map's serialization
     # + per-iteration stacking costs real time (the stage-4 DTU eval while
@@ -314,6 +319,7 @@ class StageNet(nn.Module):
                         gy=gy_b, ky=ky_b,
                         fold_depth=fold,
                         band_budget=self.warp_patch_budget,
+                        fused=self.banded_fused,
                     )  # C-MAJOR [C, B, D, N] — the kernel's native layout
                     # C-major correlation: consumes the warp output with no
                     # relayout ([C, B*D*N] -> [B, D, C, N] transposes cost

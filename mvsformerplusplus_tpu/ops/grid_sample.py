@@ -959,10 +959,18 @@ def _banded_blocked_prep(coords_c: Array, b: int, h: int, w: int, gy: int,
     starts = jnp.stack(
         [ay.astype(jnp.int32).reshape(b, dc * hg * nj),
          k0.reshape(b, dc * hg * nj)], axis=-1)    # [B, NBb, 2]
+    # flat (b, row, chunk) triples for the fused-DMA kernel, ordered
+    # (row-group-major, block-minor) = ((b, d, hg), nj)
+    b_idx = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, dc * hg * nj))
+    starts3 = jnp.stack(
+        [b_idx.reshape(-1),
+         ay.astype(jnp.int32).reshape(-1),
+         k0.reshape(-1)], axis=-1)                 # [B*NBb, 3]
 
     nbrows = b * dc * hg
     to_r = lambda a: a.reshape(nbrows, gy, w)
-    return to_r(x_rel), to_r(dyr), to_r(fy), starts
+    return to_r(x_rel), to_r(dyr), to_r(fy), starts, starts3
 
 
 def _band_gather_blocked(img_c5: Array, starts: Array, ky: int,
@@ -1000,8 +1008,9 @@ def _banded_chunk_fwd(img_f, coords_c, b, h, w, c, gy, ky, fold_depth):
     return out.reshape(c, b, dc, h * w)  # [C, B, Dc, N]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget,
+                     fused=False):
     """Banded-matmul sampler with gradient-stopped coordinates (the
     reference-default no_grad warp grid). Forward AND backward avoid
     per-sample index traffic entirely: the backward is the transposed
@@ -1009,22 +1018,33 @@ def _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget):
     scatter-adds with one index per band — replacing the per-sample
     4C-window scatter that ran at 1 GB/s (~270 ms) in the r3 train profile.
     """
-    return _banded_impl(img, coords, gy, ky, fold_depth, band_budget)
+    return _banded_impl(img, coords, gy, ky, fold_depth, band_budget,
+                        fused)
 
 
-def _banded_blocked_fwd(img_c5, coords_c, b, h, w, c, gy, ky):
-    from .pallas.warp_band import banded_warp_blocked
+def _banded_blocked_fwd(img_c5, coords_c, b, h, w, c, gy, ky,
+                        fused: bool = False):
+    from .pallas.warp_band import (banded_warp_blocked,
+                                   banded_warp_blocked_fused)
 
     dc = coords_c.shape[1]
-    x_rel, dyr_r, fy_r, starts = _banded_blocked_prep(
+    x_rel, dyr_r, fy_r, starts, starts3 = _banded_blocked_prep(
         coords_c, b, h, w, gy, ky)
+    if fused:
+        # bands DMA'd in-kernel straight from img_c5 (HBM): no [NB, ky*C,
+        # BW] band tensor, ~3x less band traffic (gather read + write +
+        # kernel read-back -> one read)
+        out = banded_warp_blocked_fused(
+            img_c5, starts3, x_rel, dyr_r, fy_r, c, gy, ky, w)
+        return out.reshape(c, b, dc, h * w)
     bands = _band_gather_blocked(img_c5, starts, ky, c)
     bands = bands.reshape(-1, ky * c, 384)
     out = banded_warp_blocked(bands, x_rel, dyr_r, fy_r, c, gy, ky, w)
     return out.reshape(c, b, dc, h * w)  # C-major [C, B, Dc, N]
 
 
-def _banded_impl(img, coords, gy, ky, fold_depth, band_budget):
+def _banded_impl(img, coords, gy, ky, fold_depth, band_budget,
+                 fused=False):
     b, h, w, c = img.shape
     d = coords.shape[1]
     hg = h // gy
@@ -1040,10 +1060,12 @@ def _banded_impl(img, coords, gy, ky, fold_depth, band_budget):
         while d % dc:
             dc -= 1
         if dc == d:
-            return _banded_blocked_fwd(img_c5, coords, b, h, w, c, gy, ky)
+            return _banded_blocked_fwd(img_c5, coords, b, h, w, c, gy, ky,
+                                       fused)
         chunks = jnp.moveaxis(coords.reshape(b, d // dc, dc, h, w, 2), 1, 0)
         out = jax.lax.map(
-            lambda cc: _banded_blocked_fwd(img_c5, cc, b, h, w, c, gy, ky),
+            lambda cc: _banded_blocked_fwd(img_c5, cc, b, h, w, c, gy, ky,
+                                           fused),
             chunks)  # [nc, C, B, dc, N]
         return jnp.moveaxis(out, 0, 2).reshape(c, b, d, h * w)
 
@@ -1071,8 +1093,10 @@ def _banded_impl(img, coords, gy, ky, fold_depth, band_budget):
     return jnp.moveaxis(out, 0, 2).reshape(c, b, d, h * w)
 
 
-def _banded_stopgrad_fwd(img, coords, gy, ky, fold_depth, band_budget):
-    out = _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget)
+def _banded_stopgrad_fwd(img, coords, gy, ky, fold_depth, band_budget,
+                         fused=False):
+    out = _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget,
+                           fused)
     return out, (coords, jnp.zeros((0,) + img.shape, img.dtype))
 
 
@@ -1106,7 +1130,7 @@ def banded_image_grad(ct_cm, coords, shape, dtype, gy: int = 8,
                          (0, 1, 3, 2)).astype(dtype)
 
 
-def _banded_stopgrad_bwd(gy, ky, fold_depth, band_budget, res, ct):
+def _banded_stopgrad_bwd(gy, ky, fold_depth, band_budget, fused, res, ct):
     coords, ex = res
     shape, dtype = ex.shape[1:], ex.dtype
     # ct arrives C-major [C, B, D, N] — the kernel's own output layout
@@ -1121,7 +1145,8 @@ _banded_stopgrad.defvjp(_banded_stopgrad_fwd, _banded_stopgrad_bwd)
 def bilinear_sample_banded(img: Array, coords: Array, gy: int = 8,
                            ky: int = 16, fold_depth: bool = False,
                            band_budget: int = 1 << 30,
-                           coord_grad: bool = False) -> Array:
+                           coord_grad: bool = False,
+                           fused: bool = False) -> Array:
     """Banded-matmul warp sampler (see ops/pallas/warp_band.py): full-width
     source row-bands fetched with one gather index per row-group, x-selection
     as exact bf16 one-hot matmuls on the MXU, y-lerp as fp32 masked MACs.
@@ -1140,7 +1165,8 @@ def bilinear_sample_banded(img: Array, coords: Array, gy: int = 8,
         b, d, h, w = coords.shape[:4]
         warped = bilinear_sample(img, coords)
         return jnp.moveaxis(warped, -1, 0).reshape(-1, b, d, h * w)
-    return _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget)
+    return _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget,
+                            fused)
 
 
 def homography_warp_banded(
@@ -1152,6 +1178,7 @@ def homography_warp_banded(
     ky: int = 16,
     fold_depth: bool = False,
     band_budget: int = 1 << 30,
+    fused: bool = False,
 ):
     """Plane-sweep warp through the banded-matmul sampler.
 
@@ -1164,4 +1191,4 @@ def homography_warp_banded(
     coords = jax.lax.stop_gradient(coords)
     return bilinear_sample_banded(
         src_feat, coords, gy=gy, ky=ky, fold_depth=fold_depth,
-        band_budget=band_budget), None
+        band_budget=band_budget, fused=fused), None

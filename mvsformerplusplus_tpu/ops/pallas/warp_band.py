@@ -48,6 +48,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
@@ -274,35 +275,155 @@ def _fwd_kernel_blocked(bands_ref, x_ref, dyr_ref, fy_ref, out_ref,
     x = x_ref[0]
     dyr = dyr_ref[0]
     fy = fy_ref[0]
-    iota_u = jax.lax.broadcasted_iota(jnp.int32, (bw, 128), 0)
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
 
+    nch = bw // 128
     cols = []
     for j in range(jb):
-        sl = slice(j * 128, (j + 1) * 128)
-        xj = x[:, sl]
-        x0 = jnp.floor(xj)
-        fx_all = xj - x0
-        x0i = x0.astype(jnp.int32)
         band = bands_ref[j]                       # [ky*C, BW]
-        rows = []
-        for r in range(gy):
-            diff = iota_u - x0i[r:r + 1]
-            a0 = (diff == 0).astype(band.dtype)
-            a1 = (diff == 1).astype(band.dtype)
-            rv0 = jax.lax.dot(band, a0, preferred_element_type=jnp.float32)
-            rv1 = jax.lax.dot(band, a1, preferred_element_type=jnp.float32)
-            fx = fx_all[r:r + 1]
-            rv = rv0 * (1.0 - fx) + rv1 * fx      # [ky*C, 128]
-            dyr_r = dyr[r:r + 1, sl]
-            fy_r = fy[r:r + 1, sl]
-            acc = jnp.zeros((c, 128), jnp.float32)
-            for k in range(ky):
-                wy = jnp.where(dyr_r == k, 1.0 - fy_r,
-                               jnp.where(dyr_r == k - 1, fy_r, 0.0))
-                acc = acc + rv[k * c:(k + 1) * c, :] * wy
-            rows.append(acc)
-        cols.append(jnp.stack(rows, axis=1))      # [C, gy, 128]
+        chunks = [band[:, ch * 128:(ch + 1) * 128] for ch in range(nch)]
+        sl = slice(j * 128, (j + 1) * 128)
+        cols.append(_blend_block(chunks, x[:, sl], dyr[:, sl], fy[:, sl],
+                                 iota_u, c, gy, ky))
     out_ref[:, 0] = jnp.concatenate(cols, axis=2)  # [C, gy, JB*128]
+
+
+def _blend_block(chunks, x_block, dyr_block, fy_block, iota_u,
+                 c: int, gy: int, ky: int):
+    """Shared per-(128-px block) blend: window-column CHUNKS (list of
+    [ky*C, 128] slabs in column order) + RELATIVE x/dyr/fy [gy, 128] ->
+    [C, gy, 128] f32. The contraction runs per 128-column chunk (same MXU
+    pass count as one [ky*C, BW] matmul: BW/128 contraction tiles either
+    way) so the fused-DMA slab layout [ky, C, chunk, 128] feeds it with
+    only layout-free (sublane-side) reshapes."""
+    x0 = jnp.floor(x_block)
+    fx_all = x_block - x0
+    x0i = x0.astype(jnp.int32)
+    rows = []
+    for r in range(gy):
+        rv0 = None
+        rv1 = None
+        for ch, band_ch in enumerate(chunks):
+            diff = (iota_u + ch * 128) - x0i[r:r + 1]
+            a0 = (diff == 0).astype(band_ch.dtype)
+            a1 = (diff == 1).astype(band_ch.dtype)
+            p0 = jax.lax.dot(band_ch, a0, preferred_element_type=jnp.float32)
+            p1 = jax.lax.dot(band_ch, a1, preferred_element_type=jnp.float32)
+            rv0 = p0 if rv0 is None else rv0 + p0
+            rv1 = p1 if rv1 is None else rv1 + p1
+        fx = fx_all[r:r + 1]
+        rv = rv0 * (1.0 - fx) + rv1 * fx          # [ky*C, 128]
+        dyr_r = dyr_block[r:r + 1]
+        fy_r = fy_block[r:r + 1]
+        acc = jnp.zeros((c, 128), jnp.float32)
+        for k in range(ky):
+            wy = jnp.where(dyr_r == k, 1.0 - fy_r,
+                           jnp.where(dyr_r == k - 1, fy_r, 0.0))
+            acc = acc + rv[k * c:(k + 1) * c, :] * wy
+        rows.append(acc)
+    return jnp.stack(rows, axis=1)                # [C, gy, 128]
+
+
+def _fwd_kernel_fused(starts_ref, x_ref, dyr_ref, fy_ref, img_ref, out_ref,
+                      slab, sems, *, c: int, gy: int, ky: int, jb: int,
+                      bw: int, npb: int, nj: int, total: int):
+    """Fused-DMA blocked banded warp: one program per (row-group,
+    x-superblock of jb 128-px blocks). Band slabs are DMA'd STRAIGHT from
+    the source image in HBM at the scalar-prefetched (b, row, chunk)
+    offsets — the [NB, ky*C, BW] band tensor of the gather formulation
+    never exists (its HBM write + read-back tripled band traffic). Double
+    buffered: program i+1's slabs stream in while i computes.
+
+    starts_ref (SMEM prefetch): [NB_total, 3] int32 of (b, row, chunk);
+    img_ref: [B, H, C, W/128, 128] in HBM (ANY); slab VMEM scratch
+    [2, jb, ky, C, 3, 128]; sems: DMA sems [2, jb].
+    """
+    step = pl.program_id(0)
+    slot = jax.lax.rem(step, 2)
+
+    def dma(s, the_step, j):
+        i = the_step // npb
+        jblk = jax.lax.rem(the_step, npb)
+        base = i * nj + jblk * jb + j
+        b = starts_ref[base, 0]
+        row = starts_ref[base, 1]
+        k0 = starts_ref[base, 2]
+        return pltpu.make_async_copy(
+            img_ref.at[b, pl.ds(row, ky), :, pl.ds(k0, 3), :],
+            slab.at[s, j],
+            sems.at[s, j],
+        )
+
+    @pl.when(step == 0)
+    def _warmup():
+        for j in range(jb):
+            dma(0, step, j).start()
+
+    @pl.when(step + 1 < total)
+    def _prefetch_next():
+        nxt = jax.lax.rem(step + 1, 2)
+        for j in range(jb):
+            dma(nxt, step + 1, j).start()
+
+    x = x_ref[0]
+    dyr = dyr_ref[0]
+    fy = fy_ref[0]
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+
+    nch = bw // 128
+    cols = []
+    for j in range(jb):
+        dma(slot, step, j).wait()
+        # [ky, C, 128] per chunk -> [ky*C, 128]: sublane-side merge only
+        chunks = [slab[slot, j, :, :, ch, :].reshape(ky * c, 128)
+                  for ch in range(nch)]
+        sl = slice(j * 128, (j + 1) * 128)
+        cols.append(_blend_block(chunks, x[:, sl], dyr[:, sl], fy[:, sl],
+                                 iota_u, c, gy, ky))
+    out_ref[:, 0] = jnp.concatenate(cols, axis=2)  # [C, gy, JB*128]
+
+
+def banded_warp_blocked_fused(img_c5: Array, starts: Array, x_rel: Array,
+                              dyr: Array, fy: Array, c: int, gy: int,
+                              ky: int, w: int, bw: int = 384) -> Array:
+    """Fused-DMA variant of banded_warp_blocked: takes the [B, H, C, W/128,
+    128] image + flat starts [NB_total, 3] (b, row, chunk) instead of
+    materialized bands. Same math, same output [C, NBROWS, gy, W] f32."""
+    nbrows = x_rel.shape[0]
+    nj = w // 128
+    assert starts.shape == (nbrows * nj, 3), (starts.shape, nbrows, nj)
+    jb = 1
+    for cand in (8, 6, 4, 3, 2):
+        if nj % cand == 0 and 2 * cand * ky * c * bw * 2 <= (3 << 20):
+            jb = cand
+            break
+    npb = nj // jb
+    total = nbrows * npb
+    wspec = pl.BlockSpec((1, gy, jb * 128),
+                         lambda s, starts_ref: (s // npb, 0,
+                                                jax.lax.rem(s, npb)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(total,),
+        in_specs=[wspec, wspec, wspec,
+                  pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (c, 1, gy, jb * 128),
+            lambda s, starts_ref: (0, s // npb, 0, jax.lax.rem(s, npb))),
+        scratch_shapes=[
+            pltpu.VMEM((2, jb, ky, c, 3, 128), img_c5.dtype),
+            pltpu.SemaphoreType.DMA((2, jb)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_fused, c=c, gy=gy, ky=ky, jb=jb,
+                          bw=bw, npb=npb, nj=nj, total=total),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((c, nbrows, gy, w), jnp.float32),
+        interpret=_interpret(),
+    )(starts, x_rel, dyr, fy, img_c5)
+    return out
 
 
 def banded_warp_blocked(bands: Array, x_rel: Array, dyr: Array, fy: Array,

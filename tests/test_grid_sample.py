@@ -715,3 +715,37 @@ def test_banded_blocked_c16_short_band():
     got = np.asarray(got).reshape(c, b, d, h, w).transpose(1, 2, 3, 4, 0)
     ref, _ = homography_warp(feat, src_proj, ref_proj, dv)
     np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
+def test_banded_blocked_fused_matches_gather_form():
+    """Fused-DMA blocked banded warp (in-kernel band DMA from HBM,
+    double-buffered) == the gather-formulation blocked path == the
+    per-sample sampler. Covers the d-chunked run too."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(41)
+    b, h, w, c, d = 2, 32, 384, 8, 4
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.05, tx=0.2)
+    ref_proj = np.broadcast_to(compose(ref_intr, ref_ext)[None],
+                               (b, 4, 4)).copy()
+    src_proj = np.broadcast_to(compose(src_intr, src_ext)[None],
+                               (b, 4, 4)).copy()
+    dv = np.broadcast_to(
+        np.linspace(3.0, 5.0, d, dtype=np.float32)[None], (b, d)).copy()
+
+    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_banded
+
+    ref_out, _ = homography_warp_banded(feat, src_proj, ref_proj,
+                                        jnp.asarray(dv), ky=16, fused=False)
+    got, _ = homography_warp_banded(feat, src_proj, ref_proj,
+                                    jnp.asarray(dv), ky=16, fused=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-5)
+    # d-chunked fused run (band budget forces lax.map over depth chunks)
+    got2, _ = homography_warp_banded(feat, src_proj, ref_proj,
+                                     jnp.asarray(dv), ky=16, fused=True,
+                                     band_budget=1)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref_out),
+                               rtol=1e-5, atol=1e-5)
