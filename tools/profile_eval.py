@@ -188,7 +188,7 @@ def run_components(only: str = ""):
     itv = float(dv[0, 1] - dv[0, 0])
 
     def vol_module(d, mode, fold, gy=8, ky=16, max_c=16, budget=1 << 30,
-                   banded_ky=16):
+                   banded_ky=16, banded_fused=False):
         class VolOnly(nn.Module):
             @nn.compact
             def __call__(self, f, cam, dvv):
@@ -196,6 +196,7 @@ def run_components(only: str = ""):
                     ndepth=d, groups=8, cost_reg_type="Normal",
                     depth_type="ce", warp_mode=mode, fold_depth=fold,
                     xgrouped_gx=gy, grouped_warp_kx=ky, banded_ky=banded_ky,
+                    banded_fused=banded_fused,
                     # band-sharing a D=16 band needs the gate open up to 16
                     grouped_warp_th=(d if (fold or mode == "grouped") else 8),
                     pallas_max_c=max_c, warp_patch_budget=budget, dtype=DT,
@@ -226,18 +227,21 @@ def run_components(only: str = ""):
         # plan turns it into gy=2/ky=8), and a gy=4/ky=16 midpoint that
         # bypasses the auto plan. (r3's full pallas/grouped sweep is
         # committed in docs/profiles/.)
-        variants = [("folded", "folded", False, 8, 16, 16, 1 << 30, 16),
-                    ("banded ky24 (r3)", "banded", False, 8, 16, 64,
-                     1 << 30, 24),
-                    ("banded ky16/auto (r4)", "banded", False, 8, 16, 64,
-                     1 << 30, 16),
-                    ("banded gy4ky16", "banded", False, 4, 16, 64,
-                     1 << 30, 16)]
-        for label, mode, fold, gy, ky, max_c, budget, bky in variants:
+        variants = [
+            ("folded", "folded", False, 8, 16, 16, 1 << 30, 16, False),
+            ("banded ky24 (r3)", "banded", False, 8, 16, 64,
+             1 << 30, 24, False),
+            ("banded ky16/auto (r4)", "banded", False, 8, 16, 64,
+             1 << 30, 16, False),
+            ("banded ky16/auto fused", "banded", False, 8, 16, 64,
+             1 << 30, 16, True),
+            ("banded gy4ky16", "banded", False, 4, 16, 64,
+             1 << 30, 16, False)]
+        for label, mode, fold, gy, ky, max_c, budget, bky, bfu in variants:
             if only and only not in label:
                 continue
             m = vol_module(d, mode, fold, gy, ky, max_c, budget,
-                           banded_ky=bky)
+                           banded_ky=bky, banded_fused=bfu)
             try:
                 vars_ = jax.jit(m.init)(
                     jax.random.PRNGKey(0), feats, cams[s], dvals)
