@@ -131,9 +131,13 @@ class StageNet(nn.Module):
     banded_max_c: int = 16
     # fused-DMA blocked banded warp: band slabs stream straight from the
     # source image in HBM inside the kernel (no materialized band tensor,
-    # ~3x less band traffic). Off until measured on-chip vs the gather
-    # formulation (ops/pallas/warp_band.py banded_warp_blocked_fused).
-    banded_fused: bool = False
+    # ~3x less band traffic). Production default — measured on-chip at the
+    # DTU eval protocol (docs/profiles/r4_banded_ablation.txt): stage3
+    # build_volume 87.5 -> 49.7 ms, stage4 77.2 -> 75.5 ms vs the gather
+    # formulation. Only the BLOCKED path uses it (the whole-row/folded
+    # paths keep the gather form); backward is unchanged (the banded
+    # transpose is formulation-independent).
+    banded_fused: bool = True
     # cap (bytes) on the unfolded pallas path's materialized patch temp; the
     # depth axis is lax.map-chunked to stay under it. The map's serialization
     # + per-iteration stacking costs real time (the stage-4 DTU eval while

@@ -960,13 +960,15 @@ def _banded_blocked_prep(coords_c: Array, b: int, h: int, w: int, gy: int,
         [ay.astype(jnp.int32).reshape(b, dc * hg * nj),
          k0.reshape(b, dc * hg * nj)], axis=-1)    # [B, NBb, 2]
     # flat (b, row, chunk) triples for the fused-DMA kernel, ordered
-    # (row-group-major, block-minor) = ((b, d, hg), nj)
+    # (row-group-major, block-minor) = ((b, d, hg), nj). COMPONENT-MAJOR
+    # [3, NB]: the SMEM prefetch pads the minor dim, so [NB, 3] would ask
+    # ~43x the bytes and overflow SMEM at stage-3/4 protocol scale.
     b_idx = jnp.broadcast_to(
         jnp.arange(b, dtype=jnp.int32)[:, None], (b, dc * hg * nj))
     starts3 = jnp.stack(
         [b_idx.reshape(-1),
          ay.astype(jnp.int32).reshape(-1),
-         k0.reshape(-1)], axis=-1)                 # [B*NBb, 3]
+         k0.reshape(-1)], axis=0)                  # [3, B*NBb]
 
     nbrows = b * dc * hg
     to_r = lambda a: a.reshape(nbrows, gy, w)
@@ -1022,8 +1024,11 @@ def _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget,
                         fused)
 
 
-def _banded_blocked_fwd(img_c5, coords_c, b, h, w, c, gy, ky,
+def _banded_blocked_fwd(img_l5, coords_c, b, h, w, c, gy, ky,
                         fused: bool = False):
+    """img_l5: [B, H, C, W/128, 128] (gather path) or [B, H, W/128, C, 128]
+    (fused path — the chunk dim must sit outside the tiled (C, 128) minor
+    pair so the kernel's 3-chunk DMA slice is legal)."""
     from .pallas.warp_band import (banded_warp_blocked,
                                    banded_warp_blocked_fused)
 
@@ -1031,13 +1036,13 @@ def _banded_blocked_fwd(img_c5, coords_c, b, h, w, c, gy, ky,
     x_rel, dyr_r, fy_r, starts, starts3 = _banded_blocked_prep(
         coords_c, b, h, w, gy, ky)
     if fused:
-        # bands DMA'd in-kernel straight from img_c5 (HBM): no [NB, ky*C,
-        # BW] band tensor, ~3x less band traffic (gather read + write +
-        # kernel read-back -> one read)
+        # bands DMA'd in-kernel straight from the image (HBM): no [NB,
+        # ky*C, BW] band tensor, ~3x less band traffic (gather read +
+        # write + kernel read-back -> one read)
         out = banded_warp_blocked_fused(
-            img_c5, starts3, x_rel, dyr_r, fy_r, c, gy, ky, w)
+            img_l5, starts3, x_rel, dyr_r, fy_r, c, gy, ky, w)
         return out.reshape(c, b, dc, h * w)
-    bands = _band_gather_blocked(img_c5, starts, ky, c)
+    bands = _band_gather_blocked(img_l5, starts, ky, c)
     bands = bands.reshape(-1, ky * c, 384)
     out = banded_warp_blocked(bands, x_rel, dyr_r, fy_r, c, gy, ky, w)
     return out.reshape(c, b, dc, h * w)  # C-major [C, B, Dc, N]
@@ -1052,10 +1057,23 @@ def _banded_impl(img, coords, gy, ky, fold_depth, band_budget,
 
     blocked = (not fold_depth) and w % 128 == 0 and w >= 384
     if blocked:
-        # per-(group, 128-px block) bands: sound under epipolar tilt
-        img_c5 = jnp.transpose(img, (0, 1, 3, 2)).reshape(
-            b, h, c, w // 128, 128)
-        bytes_per_d = b * hg * (w // 128) * ky * c * 384 * img.dtype.itemsize
+        # per-(group, 128-px block) bands: sound under epipolar tilt.
+        # Gather path wants [B, H, C, W/128, 128] (minor dims fully
+        # covered by the slab slice); fused-DMA path wants the chunk dim
+        # OUTSIDE the tiled (C, 128) pair: [B, H, W/128, C, 128].
+        if fused:
+            img_c5 = jnp.transpose(
+                img.reshape(b, h, w // 128, 128, c), (0, 1, 2, 4, 3))
+        else:
+            img_c5 = jnp.transpose(img, (0, 1, 3, 2)).reshape(
+                b, h, c, w // 128, 128)
+        # budget models the GATHER form's materialized [NB, ky*C, 384] band
+        # tensor; the fused-DMA kernel streams slabs in-kernel and holds
+        # only coords, so it never needs the lax.map chunking (stage-3 DTU
+        # eval: the budget-forced 2-chunk map cost ~23 ms of while-loop
+        # overhead on the r4a trace)
+        bytes_per_d = (0 if fused else
+                       b * hg * (w // 128) * ky * c * 384 * img.dtype.itemsize)
         dc = max(1, min(d, band_budget // max(1, bytes_per_d)))
         while d % dc:
             dc -= 1

@@ -334,9 +334,14 @@ def _fwd_kernel_fused(starts_ref, x_ref, dyr_ref, fy_ref, img_ref, out_ref,
     never exists (its HBM write + read-back tripled band traffic). Double
     buffered: program i+1's slabs stream in while i computes.
 
-    starts_ref (SMEM prefetch): [NB_total, 3] int32 of (b, row, chunk);
-    img_ref: [B, H, C, W/128, 128] in HBM (ANY); slab VMEM scratch
-    [2, jb, ky, C, 3, 128]; sems: DMA sems [2, jb].
+    starts_ref (SMEM prefetch): [3, NB_total] int32 of (b, row, chunk)
+    COMPONENT-MAJOR — a [NB, 3] layout pads the minor dim in SMEM and
+    blows the 1 MB budget at stage-3/4 scale (measured: 3.5 MB ask);
+    img_ref: [B, H, W/128, C, 128] in HBM (ANY) — the chunk dim sits
+    OUTSIDE the tiled (C, 128) minor pair so a 3-chunk dynamic slice is
+    legal (slicing a sublane-tiled chunk dim needs 8-alignment, which a
+    3-chunk window can't give); slab VMEM scratch [2, jb, ky, 3, C, 128];
+    sems: DMA sems [2, jb].
     """
     step = pl.program_id(0)
     slot = jax.lax.rem(step, 2)
@@ -345,11 +350,11 @@ def _fwd_kernel_fused(starts_ref, x_ref, dyr_ref, fy_ref, img_ref, out_ref,
         i = the_step // npb
         jblk = jax.lax.rem(the_step, npb)
         base = i * nj + jblk * jb + j
-        b = starts_ref[base, 0]
-        row = starts_ref[base, 1]
-        k0 = starts_ref[base, 2]
+        b = starts_ref[0, base]
+        row = starts_ref[1, base]
+        k0 = starts_ref[2, base]
         return pltpu.make_async_copy(
-            img_ref.at[b, pl.ds(row, ky), :, pl.ds(k0, 3), :],
+            img_ref.at[b, pl.ds(row, ky), pl.ds(k0, 3), :, :],
             slab.at[s, j],
             sems.at[s, j],
         )
@@ -375,7 +380,7 @@ def _fwd_kernel_fused(starts_ref, x_ref, dyr_ref, fy_ref, img_ref, out_ref,
     for j in range(jb):
         dma(slot, step, j).wait()
         # [ky, C, 128] per chunk -> [ky*C, 128]: sublane-side merge only
-        chunks = [slab[slot, j, :, :, ch, :].reshape(ky * c, 128)
+        chunks = [slab[slot, j, :, ch, :, :].reshape(ky * c, 128)
                   for ch in range(nch)]
         sl = slice(j * 128, (j + 1) * 128)
         cols.append(_blend_block(chunks, x[:, sl], dyr[:, sl], fy[:, sl],
@@ -383,15 +388,15 @@ def _fwd_kernel_fused(starts_ref, x_ref, dyr_ref, fy_ref, img_ref, out_ref,
     out_ref[:, 0] = jnp.concatenate(cols, axis=2)  # [C, gy, JB*128]
 
 
-def banded_warp_blocked_fused(img_c5: Array, starts: Array, x_rel: Array,
+def banded_warp_blocked_fused(img_b5: Array, starts: Array, x_rel: Array,
                               dyr: Array, fy: Array, c: int, gy: int,
                               ky: int, w: int, bw: int = 384) -> Array:
-    """Fused-DMA variant of banded_warp_blocked: takes the [B, H, C, W/128,
-    128] image + flat starts [NB_total, 3] (b, row, chunk) instead of
+    """Fused-DMA variant of banded_warp_blocked: takes the [B, H, W/128, C,
+    128] image + flat starts [3, NB_total] (b, row, chunk) instead of
     materialized bands. Same math, same output [C, NBROWS, gy, W] f32."""
     nbrows = x_rel.shape[0]
     nj = w // 128
-    assert starts.shape == (nbrows * nj, 3), (starts.shape, nbrows, nj)
+    assert starts.shape == (3, nbrows * nj), (starts.shape, nbrows, nj)
     jb = 1
     for cand in (8, 6, 4, 3, 2):
         if nj % cand == 0 and 2 * cand * ky * c * bw * 2 <= (3 << 20):
@@ -412,7 +417,7 @@ def banded_warp_blocked_fused(img_c5: Array, starts: Array, x_rel: Array,
             (c, 1, gy, jb * 128),
             lambda s, starts_ref: (0, s // npb, 0, jax.lax.rem(s, npb))),
         scratch_shapes=[
-            pltpu.VMEM((2, jb, ky, c, 3, 128), img_c5.dtype),
+            pltpu.VMEM((2, jb, ky, 3, c, 128), img_b5.dtype),
             pltpu.SemaphoreType.DMA((2, jb)),
         ],
     )
@@ -422,7 +427,7 @@ def banded_warp_blocked_fused(img_c5: Array, starts: Array, x_rel: Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((c, nbrows, gy, w), jnp.float32),
         interpret=_interpret(),
-    )(starts, x_rel, dyr, fy, img_c5)
+    )(starts, x_rel, dyr, fy, img_b5)
     return out
 
 

@@ -196,7 +196,7 @@ def run_components(only: str = ""):
                     ndepth=d, groups=8, cost_reg_type="Normal",
                     depth_type="ce", warp_mode=mode, fold_depth=fold,
                     xgrouped_gx=gy, grouped_warp_kx=ky, banded_ky=banded_ky,
-                    banded_fused=banded_fused,
+                    banded_fused=banded_fused, banded_max_c=max_c,
                     # band-sharing a D=16 band needs the gate open up to 16
                     grouped_warp_th=(d if (fold or mode == "grouped") else 8),
                     pallas_max_c=max_c, warp_patch_budget=budget, dtype=DT,
@@ -235,6 +235,12 @@ def run_components(only: str = ""):
              1 << 30, 16, False),
             ("banded ky16/auto fused", "banded", False, 8, 16, 64,
              1 << 30, 16, True),
+            # gy=2/ky=8 fused at every blocked stage incl. C=32 stage2
+            # (zero escapes at the DTU protocol geometry; NB the r4
+            # StageNet gate demotes C>16 in production — this row is the
+            # measurement that decides whether to raise banded_max_c)
+            ("banded gy2ky8 fused", "banded", False, 2, 16, 64,
+             1 << 30, 8, True),
             ("banded gy4ky16", "banded", False, 4, 16, 64,
              1 << 30, 16, False)]
         for label, mode, fold, gy, ky, max_c, budget, bky, bfu in variants:
