@@ -128,7 +128,14 @@ class StageNet(nn.Module):
     # ky 24 -> 16 cuts its matmul passes 2x at stage-4 scale. The whole-row
     # path (narrow W) keeps >= 24: row-wide v-spans reach ~16-18.
     banded_ky: int = 16
+    # C ceiling for the banded warp. The one-hot contraction rows scale
+    # with ky*C, so wide-C stages lose to the folded gather — EXCEPT on
+    # the blocked fused-DMA path, where the gy=2/ky=8 auto plan keeps the
+    # contraction at 2 sublane tiles for C=32: measured 35.8 ms vs folded
+    # 106.1 at stage-2 DTU eval (docs/profiles/r4_banded_ablation.txt).
+    # The whole-row path (narrow W, taller ky) keeps the C<=16 ceiling.
     banded_max_c: int = 16
+    banded_blocked_max_c: int = 32
     # fused-DMA blocked banded warp: band slabs stream straight from the
     # source image in HBM inside the kernel (no materialized band tensor,
     # ~3x less band traffic). Production default — measured on-chip at the
@@ -253,18 +260,27 @@ class StageNet(nn.Module):
         if mode == "grouped" and (self.ndepth > self.grouped_warp_th
                                   or self.full_range):
             mode = "folded"  # depth-grouping unsound for full-range sweeps
+        would_fold = (self.fold_depth and not self.full_range
+                      and not self.shard_depth
+                      and self.ndepth <= self.grouped_warp_th
+                      and h >= self.fold_ky)
+        blocked_w = (not would_fold) and w % 128 == 0 and w >= 384
+        banded_c_cap = (self.banded_blocked_max_c if blocked_w
+                        else self.banded_max_c)
         if mode == "banded" and (c % 8 != 0 or h % self.xgrouped_gx != 0
                                  or h < 2 * self.xgrouped_gx
-                                 or c > self.banded_max_c
+                                 or c > banded_c_cap
                                  or self.shard_views or self.shard_depth):
             # the band kernel slices [ky*C] sublanes in C-steps (C%8) and
-            # groups H rows. C > banded_max_c (16): the one-hot matmuls'
-            # [ky*C] contraction rows scale with C while the gather saving
-            # is fixed — measured v5e crossover (r3 sound ablation): stage3
-            # C=16 blocked 97 ms vs pallas 122, stage4 C=8 91 vs 242, but
-            # stage2 C=32 128 vs 95 and stage1 C=64 80 vs 65. Under cv
-            # sharding it demotes until the pallas_call is validated under
-            # vmap/SPMD partitioning.
+            # groups H rows. C above the cap: the one-hot matmuls' [ky*C]
+            # contraction rows scale with C while the gather saving is
+            # fixed — measured v5e crossover (r3 sound ablation): stage3
+            # C=16 blocked 97 ms vs pallas 122, stage4 C=8 91 vs 242, and
+            # stage1 C=64 80 vs 65. The BLOCKED fused path moves the
+            # crossover past C=32 (gy=2/ky=8 plan: stage2 35.8 ms vs
+            # folded 106.1, r4 ablation); the whole-row path keeps 16.
+            # Under cv sharding it demotes until the pallas_call is
+            # validated under vmap/SPMD partitioning.
             mode = "pallas"
         if mode == "pallas" and (c % 8 != 0 or h % self.xgrouped_gx != 0
                                  or w % 128 != 0 or c > self.pallas_max_c):
@@ -309,14 +325,17 @@ class StageNet(nn.Module):
                     gy_b = self.xgrouped_gx
                     ky_b = max(base_ky, self.fold_ky if fold
                                else 2 * gy_b)
-                    if (blocked and not fold and c == 16 and h % 2 == 0
+                    if (blocked and not fold and c in (16, 32)
+                            and h % 2 == 0
                             and gy_b == 8 and self.banded_ky == 16):
-                        # C=16 auto plan: gy=2 row groups shrink the block
-                        # v-span so ky=8 holds (ZERO escapes at the DTU
-                        # protocol, tests/test_fold_window.py) — ky*C stays
-                        # at ONE MXU sublane tile, halving the one-hot
-                        # matmul passes vs ky=16. Applied only on the
-                        # default plan (explicit gy/ky overrides win).
+                        # C=16/32 auto plan: gy=2 row groups shrink the
+                        # block v-span so ky=8 holds (ZERO escapes at the
+                        # DTU protocol for stages 2-4,
+                        # tests/test_fold_window.py) — ky*C stays at 1-2
+                        # MXU sublane tiles, halving the one-hot matmul
+                        # passes vs ky=16 (stage2 C=32 fused: 35.8 ms vs
+                        # 45.4). Applied only on the default plan
+                        # (explicit gy/ky overrides win).
                         gy_b, ky_b = 2, 8
                     warped_cm, _ = homography_warp_banded(
                         src_feat_b, src_proj_b, ref_proj, depth_values,

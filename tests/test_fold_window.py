@@ -115,11 +115,14 @@ def test_banded_window_escapes_at_dtu_geometry():
             h, w, gy=gy, ky=ky, block_w=128)
             for vi in range(1, proj_stage.shape[1])]
 
+    # the gy=2/ky=8 auto plan runs every blocked C=16/32 stage in
+    # production (stage2 and stage3): zero escapes at each
     hypo3 = init_inverse_range(dv, 32, H // 8, W // 8)
     for nd, ratio, sc in ((16, 2.67, 4), (8, 1.5, 2)):
         hypo3 = schedule_inverse_range(
             hypo3[:, hypo3.shape[1] // 2], hypo3, nd, ratio,
             H // sc, W // sc)
-    proj3 = compose_projection(jnp.asarray(cams["stage3"]))
-    esc = banded_esc_gy(proj3, hypo3, H // 2, W // 2, gy=2, ky=8)
-    assert max(esc) < 1e-9, ("stage3 gy2ky8", esc)
+        proj3 = compose_projection(
+            jnp.asarray(cams[{4: "stage2", 2: "stage3"}[sc]]))
+        esc = banded_esc_gy(proj3, hypo3, H // sc, W // sc, gy=2, ky=8)
+        assert max(esc) < 1e-9, (f"stage sc={sc} gy2ky8", esc)

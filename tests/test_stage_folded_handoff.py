@@ -159,3 +159,42 @@ def test_cta_stage_folded_full_call():
     np.testing.assert_allclose(np.asarray(got["prob_volume"]),
                                np.asarray(ref["prob_volume"]),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_banded_c32_blocked_matches_folded():
+    """The r4 stage-2 production path — C=32 through the BLOCKED banded
+    warp (banded_blocked_max_c=32, gy=2/ky=8 auto plan, fused-DMA kernel)
+    — must equal the exact folded single-gather baseline. Geometry is
+    escape-free by construction (asserted via the shipped diagnostic)."""
+    import numpy as np
+
+    from mvsformerplusplus_tpu.ops.geometry import (compose_projection,
+                                                    plane_sweep_coords)
+    from mvsformerplusplus_tpu.ops.grid_sample import banded_escape_fraction
+
+    rng = np.random.RandomState(7)
+    feats, cam, dvals = _stage_inputs(rng, v=3, h=16, w=384, c=32, d=4)
+    cam = np.array(cam)
+    cam[:, :, 1, :3, :3] *= np.array([[8.0], [1.0], [1.0]], np.float32)
+    cam = jnp.asarray(cam)  # stretch fx so u-spans resemble a real sweep
+    proj = compose_projection(cam)
+    for vi in range(1, 3):
+        coords, _ = plane_sweep_coords(proj[:, vi], proj[:, 0],
+                                       jnp.asarray(dvals)[:, :, None, None]
+                                       * jnp.ones((1, 1, 16, 384)), 16, 384)
+        esc = banded_escape_fraction(np.asarray(coords), 16, 384,
+                                     gy=2, ky=8, block_w=128)
+        assert esc < 1e-9, ("test geometry must be escape-free", vi, esc)
+
+    banded = _mk(4, "dfold", "banded")
+    folded = _mk(4, "dfold", "folded")
+    variables = jax.jit(
+        lambda r: banded.init(r, feats, cam, dvals))(jax.random.PRNGKey(0))
+    ref = jax.jit(lambda v: folded.apply(
+        v, feats, cam, dvals, method=lambda m, *a: m.build_volume(*a, False)
+    ))(variables)
+    got = jax.jit(lambda v: banded.apply(
+        v, feats, cam, dvals, method=lambda m, *a: m.build_volume(*a, False)
+    ))(variables)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -49,7 +49,7 @@ from mvsformerplusplus_tpu.ops.sampling import (init_inverse_range,
 STAGES = (
     # name, scale, ndepth, ratio, (gy, ky) banded plan, fold plan or None
     ("stage1", 8, 32, None, (8, 24), None),          # whole-row (W/8)
-    ("stage2", 4, 16, 2.67, (8, 16), None),
+    ("stage2", 4, 16, 2.67, (2, 8), None),           # blocked C=32 auto
     ("stage3", 2, 8, 1.5, (2, 8), None),
     ("stage4", 1, 4, 1.0, (8, 16), None),
 )
