@@ -123,16 +123,24 @@ def _fold_factor(w: int, ci: int, co: int, kx: int = 3) -> int:
     """Fold enough W-pixels for ~128 input lanes, but cap the folded
     OUTPUT width (f*co > 512 blows the weight/accumulator VMEM for
     extreme ci:co ratios) and keep f >= (kx-1)//2 (the 3-folded-tap
-    representability bound) and f | w."""
+    representability bound) and f | w.
+
+    The folded width W/f must be EVEN: Mosaic lowers the kernel's rank-3
+    dot by flattening [BH, W', Ci'] -> [BH*W', Ci'], and for bf16's (2, 1)
+    sublane packing that shape cast is unsupported at odd W' (measured:
+    wf=5 'infer-vector-layout: unsupported shape cast' at the train-crop
+    stage-2 vis conv [128, 160, 1->16], while wf 4/10/12/20/48 all
+    compile)."""
     p = (kx - 1) // 2
     cap = max(1, min(128 // max(ci, 1), 512 // max(co, 1)))
     for f in range(cap, 0, -1):
-        if w % f == 0 and f >= p:
+        if w % f == 0 and f >= p and (w // f) % 2 == 0:
             return f
-    # no fold >= p divides w: f=1 is only legal for kx <= 3 (pxf == p);
-    # larger kernels would need the unfolded kx-tap path whose narrow-lane
-    # VMEM padding the footprint model does not cover
-    return 1 if p <= 1 else 0
+    # no even-width fold >= p divides w: f=1 is only legal for kx <= 3
+    # (pxf == p) and even w; larger kernels would need the unfolded kx-tap
+    # path whose narrow-lane VMEM padding the footprint model does not
+    # cover
+    return 1 if (p <= 1 and w % 2 == 0) else 0
 
 
 def conv2d_viable(h: int, w: int, ci: int, co: int, ky: int = 3,

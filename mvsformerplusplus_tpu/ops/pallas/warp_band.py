@@ -292,25 +292,31 @@ def _blend_block(chunks, x_block, dyr_block, fy_block, iota_u,
                  c: int, gy: int, ky: int):
     """Shared per-(128-px block) blend: window-column CHUNKS (list of
     [ky*C, 128] slabs in column order) + RELATIVE x/dyr/fy [gy, 128] ->
-    [C, gy, 128] f32. The contraction runs per 128-column chunk (same MXU
-    pass count as one [ky*C, BW] matmul: BW/128 contraction tiles either
-    way) so the fused-DMA slab layout [ky, C, chunk, 128] feeds it with
-    only layout-free (sublane-side) reshapes."""
+    [C, gy, 128] f32.
+
+    ONE wide matmul per chunk: all gy rows' (ux0, ux0+1) one-hot selectors
+    pack along the OUTPUT columns ([128, gy*2*128]), so the MXU pipelines
+    gy*2 column tiles per dot instead of issuing gy*2 latency-bound
+    [ky*C, 128] @ [128, 128] matmuls (the v1 per-row form measured
+    ~66 us/program at stage-4 DTU eval — ~6x its pass-count floor; the
+    per-128-chunk contraction keeps the fused-DMA slab layout feedable
+    with sublane-side reshapes either way)."""
     x0 = jnp.floor(x_block)
     fx_all = x_block - x0
     x0i = x0.astype(jnp.int32)
+    # wide selector targets, ordered (row, which) on lanes:
+    # column j of the wide output = (r = j//256, which = (j//128) % 2)
+    y_w = jnp.stack([x0i, x0i + 1], axis=1).reshape(1, gy * 2 * 128)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (128, gy * 2 * 128), 0)
+    rv_w = None
+    for ch, band_ch in enumerate(chunks):
+        aw = ((iota_w + ch * 128) == y_w).astype(band_ch.dtype)
+        p = jax.lax.dot(band_ch, aw, preferred_element_type=jnp.float32)
+        rv_w = p if rv_w is None else rv_w + p    # [ky*C, gy*2*128]
     rows = []
     for r in range(gy):
-        rv0 = None
-        rv1 = None
-        for ch, band_ch in enumerate(chunks):
-            diff = (iota_u + ch * 128) - x0i[r:r + 1]
-            a0 = (diff == 0).astype(band_ch.dtype)
-            a1 = (diff == 1).astype(band_ch.dtype)
-            p0 = jax.lax.dot(band_ch, a0, preferred_element_type=jnp.float32)
-            p1 = jax.lax.dot(band_ch, a1, preferred_element_type=jnp.float32)
-            rv0 = p0 if rv0 is None else rv0 + p0
-            rv1 = p1 if rv1 is None else rv1 + p1
+        rv0 = rv_w[:, r * 256:r * 256 + 128]
+        rv1 = rv_w[:, r * 256 + 128:r * 256 + 256]
         fx = fx_all[r:r + 1]
         rv = rv0 * (1.0 - fx) + rv1 * fx          # [ky*C, 128]
         dyr_r = dyr_block[r:r + 1]

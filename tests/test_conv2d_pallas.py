@@ -121,3 +121,29 @@ def test_conv_odd_k_grads_match_xla():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gk_p), np.asarray(gk_r),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fold_factor_even_width():
+    """Mosaic can't shape-cast odd folded widths under bf16 sublane packing
+    (measured: wf=5 at the train-crop stage-2 vis conv [128,160,1->16]);
+    the fold picker must only return even-W' folds, and the kernel must
+    stay value-correct at the shape that used to break."""
+    from mvsformerplusplus_tpu.ops.pallas.conv2d import (_fold_factor,
+                                                         conv2d_p,
+                                                         conv2d_viable)
+
+    f = _fold_factor(160, 1, 16, 3)
+    assert f > 0 and (160 // f) % 2 == 0, f
+    for w in (80, 120, 160, 320, 384, 640, 1536):
+        for ci, co in ((1, 16), (8, 64), (16, 8), (64, 8)):
+            ff = _fold_factor(w, ci, co, 3)
+            if ff:
+                assert (w // ff) % 2 == 0, (w, ci, co, ff)
+    assert conv2d_viable(128, 160, 1, 16, 3, 3)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 128, 160, 1).astype(np.float32))
+    k = jnp.asarray(rng.randn(3, 3, 1, 16).astype(np.float32) * 0.1)
+    got = jax.jit(conv2d_p)(x, k)
+    ref = jax.jit(_ref_conv)(x, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
