@@ -71,10 +71,12 @@ CATEGORIES = (
     ("scatter", "warp scatter (bwd)"),
     ("blend", "pallas blend kernel"),
     ("flash", "pallas flash attention"),
-    # pallas kernels show up as <module-path>/pallas_call; the two kernel
+    # pallas kernels show up as <module-path>/pallas_call; the kernel
     # families are distinguished by their module path
     ("attn/pallas_call", "pallas flash attention"),
-    ("build_volume/pallas_call", "pallas blend kernel"),
+    ("build_volume/pallas_call", "pallas warp kernel"),
+    ("_build_volume_impl/pallas_call", "pallas warp kernel"),
+    ("smooth", "convolutions"),
     ("conv", "convolutions"),
     ("dot", "matmuls"),
     ("einsum", "matmuls"),
