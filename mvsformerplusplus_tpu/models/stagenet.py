@@ -405,7 +405,11 @@ class StageNet(nn.Module):
                 # G dim minor -> 16x lane padding -> OOM)
                 return corr_t, entropy_flat
             warped, _ = homography_warp(
-                src_feat_b, src_proj_b, ref_proj, depth_values
+                src_feat_b, src_proj_b, ref_proj, depth_values,
+                # banded matmul-transpose image backward — except under
+                # vmap/SPMD cv sharding, where the banded pallas_call is
+                # unvalidated (same rule as the banded FORWARD gate)
+                banded_bwd=not (self.shard_views or self.shard_depth),
             )  # [B, D, H, W, C] f32
             # FULL-C product, NOT the G-channel correlation: the grouped
             # mean commutes with the view-weighted sum (both linear), so

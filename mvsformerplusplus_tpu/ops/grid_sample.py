@@ -714,12 +714,66 @@ def bilinear_sample_xgrouped(
     return out.reshape(b, d, c, h * w)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _persample_stopgrad(img, coords, banded_bwd=True):
+    """Per-sample folded-channel sampler with gradient-stopped coordinates.
+
+    Forward is bilinear_sample unchanged; on TPU the image backward routes
+    through the banded matmul transpose (banded_image_grad) instead of
+    autodiff's per-sample 4C-window scatter-add — the r4 train profile
+    measured those scatters at 1 GB/s (~10 ms per source view at the
+    folded stage-1/2 train crops, fusion.42x). Off-TPU (interpret-mode
+    kernels) keeps the exact linear_transpose; banded_bwd=False forces it
+    (callers under vmap/SPMD sharding, where the banded pallas_call is
+    unvalidated — the same rule that demotes the banded FORWARD there)."""
+    return bilinear_sample(img, coords)
+
+
+def _persample_stopgrad_fwd(img, coords, banded_bwd=True):
+    return (_persample_stopgrad(img, coords, banded_bwd),
+            (coords, jnp.zeros((0,) + img.shape, img.dtype)))
+
+
+def _persample_banded_bwd(ct, coords, shape, dtype):
+    """Banded-transpose image gradient for a per-sample-layout cotangent
+    ct [B, D, H, W, C] (the folded warp's output layout)."""
+    b, d, h, w = coords.shape[:4]
+    c = shape[-1]
+    ct_cm = jnp.transpose(ct.astype(jnp.float32),
+                          (4, 0, 1, 2, 3)).reshape(c, b, d, h * w)
+    return banded_image_grad(ct_cm, coords, shape, dtype, gy=8)
+
+
+def _persample_stopgrad_bwd(banded_bwd, res, ct):
+    coords, ex = res
+    shape, dtype = ex.shape[1:], ex.dtype
+    h = coords.shape[2]
+    c = shape[-1]
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    # C cap mirrors the banded FORWARD's: the transpose's contraction rows
+    # scale with ky*C, so wide-C folded stages (train stage1 C=64 / stage2
+    # C=32) measured 64/93 ms through the whole-row banded bwd vs ~10 ms
+    # for autodiff's per-sample scatter (r4t3 trace) — banded only pays
+    # at C <= 16
+    if banded_bwd and on_tpu and h % 8 == 0 and c <= 16:
+        return (_persample_banded_bwd(ct, coords, shape, dtype),
+                jnp.zeros_like(coords))
+    f = lambda im: bilinear_sample(im, coords)
+    (gimg,) = jax.linear_transpose(
+        f, jax.ShapeDtypeStruct(shape, dtype))(ct.astype(jnp.float32))
+    return gimg.astype(dtype), jnp.zeros_like(coords)
+
+
+_persample_stopgrad.defvjp(_persample_stopgrad_fwd, _persample_stopgrad_bwd)
+
+
 def homography_warp(
     src_feat: Array,
     src_proj: Array,
     ref_proj: Array,
     depth_values: Array,
     stop_coord_grad: bool = True,
+    banded_bwd: bool = True,
 ):
     """Plane-sweep warp of src features into the ref frustum.
 
@@ -742,6 +796,9 @@ def homography_warp(
     if stop_coord_grad:
         coords = jax.lax.stop_gradient(coords)
         invalid = jax.lax.stop_gradient(invalid)
+        # custom VJP: banded matmul-transpose image gradient on TPU (the
+        # autodiff backward is a 1 GB/s per-sample scatter-add)
+        return _persample_stopgrad(src_feat, coords, banded_bwd), invalid
     warped = bilinear_sample(src_feat, coords)
     return warped, invalid
 
@@ -1118,24 +1175,89 @@ def _banded_stopgrad_fwd(img, coords, gy, ky, fold_depth, band_budget,
     return out, (coords, jnp.zeros((0,) + img.shape, img.dtype))
 
 
+def _banded_blocked_bwd(ct_cm, coords_c, b, h, w, c, gy, ky):
+    """Blocked-banded image gradient: the exact transpose of the blocked
+    forward's per-(row-group, 128-px-block) window geometry. Returns
+    [B, H, C, W] f32. One scatter-add of [ky, C, BW] slabs (NBb indices)
+    replaces the whole-row path's ky sequential row scatters."""
+    from .pallas.warp_band import banded_warp_blocked_bwd
+
+    dc = coords_c.shape[1]
+    x_rel, dyr_r, fy_r, starts, _ = _banded_blocked_prep(
+        coords_c, b, h, w, gy, ky)
+    hg = h // gy
+    nj = w // 128
+    g = ct_cm.astype(jnp.float32).reshape(c, b * dc * hg, gy, w)
+    dbands = banded_warp_blocked_bwd(
+        g, x_rel, dyr_r, fy_r, c, gy, ky, w)   # [NBb_total, ky*C, 384]
+    nbb = dc * hg * nj
+    # chunk-aligned slab scatter: operand [B, H, W/128, C, 128] — the
+    # chunk dim sits OUTSIDE the tiled (C, 128) minor pair so the 3-chunk
+    # update window never splits a tile (indices are (row, chunk)). With
+    # the chunk dim inside the tiled pair the same scatter moved 16.9 GB
+    # for 2 GB of updates (sublane-padded RMW, 47.7 ms at the stage-4
+    # train protocol); the unaligned [ky, C, 384]-window form on
+    # [B, H, C, W] was 51.7 ms; a ky-loop of per-row scatters 703 ms
+    # (per-op scatter overhead at [C, BW] size).
+    upd = jnp.transpose(dbands.reshape(b, nbb, ky, c, 3, 128),
+                        (0, 1, 2, 4, 3, 5))        # [.., ky, 3, C, 128]
+    idx = starts  # (row, chunk)
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(2, 3, 4, 5),  # (ky, 3 chunks, C, 128) windows
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(1, 2),
+        operand_batching_dims=(0,),
+        scatter_indices_batching_dims=(0,),
+    )
+    acc = jax.lax.scatter_add(
+        jnp.zeros((b, h, w // 128, c, 128), jnp.float32), idx, upd, dn,
+        mode=jax.lax.GatherScatterMode.CLIP)
+    # [B, H, W/128, C, 128] -> [B, H, C, W]
+    return jnp.transpose(acc, (0, 1, 3, 2, 4)).reshape(b, h, c, w)
+
+
 def banded_image_grad(ct_cm, coords, shape, dtype, gy: int = 8,
                       ky: int = 48, fold_depth: bool = False):
     """dL/dimg of ANY gradient-stopped warp via the banded matmul transpose.
 
-    ct_cm: C-major cotangent [C, B, D, N]. The backward uses WHOLE-ROW
-    bands regardless of the forward's formulation (it is an independent
-    linear map): ky=48 covers the row-wide in-image v-span at training-crop
-    scales (~33 rows at stage-4 512x640; the robust anchor keeps diverged
-    samples from pinning it). Samples outside the window get zero gradient
-    — the out-of-FOV class. This replaces the per-sample 4C-window
-    scatter-add (1 GB/s, ~270 ms/step in the r3 profile) for every
-    stop-grad warp path that calls it.
+    ct_cm: C-major cotangent [C, B, D, N]. The backward is an independent
+    linear map, so its window geometry need not match the forward's:
+
+    - wide rows (W % 128 == 0, W >= 384, unfolded): the BLOCKED transpose
+      — per-(row-group, 128-px-block) bands with the production ky=16
+      window (zero escapes at the DTU eval AND train-crop geometries,
+      tests/test_fold_window.py) and ONE slab scatter-add. The whole-row
+      form at these widths needs ky=48 (row-wide v-span ~33 at stage-4
+      train crops) — 3x the contraction rows and ky sequential row
+      scatters (r4t trace: stage-4 bwd 37.4 ms kernel + 23.7 slice +
+      19.6 scatter; stage-3 55.7 + 19.4 + 14.1).
+    - narrow rows: WHOLE-ROW bands at ky >= 24 — row-wide v-spans at the
+      train-crop stages measure <= 16 in-image rows (escape diagnostics
+      at the DTU protocol geometry; 24 keeps a 50% margin). Validate new
+      datasets with tools/validate_warp_windows.py.
+
+    Samples outside the window get zero gradient — the out-of-FOV class.
+    This replaces the per-sample 4C-window scatter-add (1 GB/s,
+    ~270 ms/step in the r3 profile) for every stop-grad warp path that
+    calls it.
     """
     from .pallas.warp_band import banded_warp_rows_bwd
 
     b, h, w, c = shape
     d = coords.shape[1]
-    ky = min(max(ky, 48), h)
+    blocked = ((not fold_depth) and w % 128 == 0 and w >= 384
+               and h % gy == 0)
+    if blocked:
+        # per-block window height: the forward's ky when it came from a
+        # blocked forward (16 at the production plans), clamped to the
+        # [16, 24] range the escape pins cover — 24 holds even the
+        # strongly-tilted geometry class where whole-row bands break
+        # (tests/test_grid_sample.py test_banded_blocked_path_matches_plain)
+        bky = min(h, max(16, min(ky, 24)))
+        dimg_c = _banded_blocked_bwd(ct_cm.astype(jnp.float32), coords,
+                                     b, h, w, c, gy, bky)
+        return jnp.transpose(dimg_c, (0, 1, 3, 2)).astype(dtype)
+    ky = min(max(ky, 24), h)
     x_r, dyr_r, fy_r, starts, d_shared, hg = _banded_prep(
         coords, b, h, w, gy, ky, fold_depth)
     g = ct_cm.astype(jnp.float32).reshape(c, b * d * hg, gy, w)

@@ -437,6 +437,79 @@ def banded_warp_blocked_fused(img_b5: Array, starts: Array, x_rel: Array,
     return out
 
 
+def _bwd_kernel_blocked(g_ref, x_ref, dyr_ref, fy_ref, dbands_ref,
+                        *, c: int, gy: int, ky: int, jb: int, bw: int):
+    """Transpose of _fwd_kernel_blocked: one program per (row-group,
+    x-superblock) emits jb per-block dband slabs [ky*C, BW] (x RELATIVE to
+    each block's column anchor, same prep as the forward). No cross-program
+    accumulation: each (row-group, block) owns its slab; overlapping source
+    windows are reconciled by the caller's scatter-add."""
+    x = x_ref[0]
+    dyr = dyr_ref[0]
+    fy = fy_ref[0]
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (bw, 128), 0)
+
+    for j in range(jb):
+        sl = slice(j * 128, (j + 1) * 128)
+        x0 = jnp.floor(x[:, sl])
+        fx_all = x[:, sl] - x0
+        x0i = x0.astype(jnp.int32)
+        contrib = jnp.zeros((ky * c, bw), jnp.float32)
+        for r in range(gy):
+            diff = iota_u - x0i[r:r + 1]
+            a0 = (diff == 0).astype(jnp.float32)      # [BW, 128]
+            a1 = (diff == 1).astype(jnp.float32)
+            g = g_ref[:, 0, r, sl]                    # [C, 128] f32
+            dyr_r = dyr[r:r + 1, sl]
+            fy_r = fy[r:r + 1, sl]
+            drv_rows = []
+            for k in range(ky):
+                wy = jnp.where(dyr_r == k, 1.0 - fy_r,
+                               jnp.where(dyr_r == k - 1, fy_r, 0.0))
+                drv_rows.append(g * wy)
+            drv = jnp.concatenate(drv_rows, axis=0)   # [ky*C, 128]
+            fx = fx_all[r:r + 1]
+            dn = (((1,), (1,)), ((), ()))
+            contrib = contrib + jax.lax.dot_general(
+                drv * (1.0 - fx), a0, dn, preferred_element_type=jnp.float32)
+            contrib = contrib + jax.lax.dot_general(
+                drv * fx, a1, dn, preferred_element_type=jnp.float32)
+        dbands_ref[j] = contrib
+
+
+def banded_warp_blocked_bwd(g: Array, x_rel: Array, dyr: Array, fy: Array,
+                            c: int, gy: int, ky: int, w: int,
+                            bw: int = 384) -> Array:
+    """dbands [NBROWS*(W/128), ky*C, BW] from dout g [C, NBROWS, gy, W] —
+    the exact transpose of banded_warp_blocked/_fused's blend. Same
+    (row-group, 128-px-block) window geometry as the forward (callers use
+    the same _banded_blocked_prep outputs)."""
+    nbrows = x_rel.shape[0]
+    nj = w // 128
+    jb = 1
+    for cand in (8, 6, 4, 3, 2):
+        if nj % cand == 0 and cand * ky * c * bw * 4 <= (3 << 20):
+            jb = cand
+            break
+    npb = nj // jb
+    wspec = pl.BlockSpec((1, gy, jb * 128), lambda i, j: (i, 0, j))
+
+    dbands = pl.pallas_call(
+        functools.partial(_bwd_kernel_blocked, c=c, gy=gy, ky=ky, jb=jb,
+                          bw=bw),
+        grid=(nbrows, npb),
+        in_specs=[pl.BlockSpec((c, 1, gy, jb * 128),
+                               lambda i, j: (0, i, 0, j)),
+                  wspec, wspec, wspec],
+        out_specs=pl.BlockSpec((jb, ky * c, bw),
+                               lambda i, j: (i * npb + j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nbrows * nj, ky * c, bw),
+                                       jnp.float32),
+        interpret=_interpret(),
+    )(g.astype(jnp.float32), x_rel, dyr, fy)
+    return dbands
+
+
 def banded_warp_blocked(bands: Array, x_rel: Array, dyr: Array, fy: Array,
                         c: int, gy: int, ky: int, w: int,
                         bw: int = 384) -> Array:

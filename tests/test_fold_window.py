@@ -126,3 +126,44 @@ def test_banded_window_escapes_at_dtu_geometry():
             jnp.asarray(cams[{4: "stage2", 2: "stage3"}[sc]]))
         esc = banded_esc_gy(proj3, hypo3, H // sc, W // sc, gy=2, ky=8)
         assert max(esc) < 1e-9, (f"stage sc={sc} gy2ky8", esc)
+
+
+def test_bwd_window_escapes_at_train_geometry():
+    """The backward's window plans at the DTU TRAIN-crop geometry
+    (512x640, bench.make_train_batch cams): whole-row ky=24 (narrow
+    stages; banded_image_grad's minimum) and per-128-px-block ky=16 (the
+    blocked route, w >= 384) must be escape-free — an escape is a
+    silently-zeroed gradient."""
+    import numpy as np
+    from bench import make_dtu_eval_batch
+    from mvsformerplusplus_tpu.ops.geometry import (compose_projection,
+                                                    plane_sweep_coords)
+    from mvsformerplusplus_tpu.ops.grid_sample import banded_escape_fraction
+    from mvsformerplusplus_tpu.ops.sampling import (init_inverse_range,
+                                                    schedule_inverse_range)
+
+    H, W = 512, 640
+    _, cams, dv = make_dtu_eval_batch(b=2, v=5, h=H, w=W, seed=1)
+    dv = jnp.asarray(dv)
+    hypo = init_inverse_range(dv, 32, H // 8, W // 8)
+
+    def esc(stage, hy, h, w, ky, block_w):
+        proj = compose_projection(jnp.asarray(cams[stage]))
+        return max(banded_escape_fraction(
+            np.asarray(plane_sweep_coords(proj[:, vi], proj[:, 0],
+                                          hy, h, w)[0]),
+            h, w, gy=8, ky=min(ky, h), block_w=block_w)
+            for vi in range(1, 5))
+
+    # stage1 full-range + narrow stages: whole-row ky=24
+    assert esc("stage1", hypo, H // 8, W // 8, 24, 0) < 1e-9
+    hy = hypo
+    for nd, ratio, sc in ((16, 2.67, 4), (8, 1.5, 2), (4, 1.0, 1)):
+        hy = schedule_inverse_range(hy[:, hy.shape[1] // 2], hy, nd, ratio,
+                                    H // sc, W // sc)
+        stage = {4: "stage2", 2: "stage3", 1: "stage4"}[sc]
+        if sc == 1:
+            # w=640: the blocked backward route, per-block ky=16
+            assert esc(stage, hy, H, W, 16, 128) < 1e-9
+        else:
+            assert esc(stage, hy, H // sc, W // sc, 24, 0) < 1e-9

@@ -749,3 +749,35 @@ def test_banded_blocked_fused_matches_gather_form():
                                      band_budget=1)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref_out),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_persample_banded_bwd_matches_linear_transpose():
+    """The folded warp's TPU image-backward (_persample_banded_bwd: banded
+    matmul transpose of a [B,D,H,W,C] cotangent) == autodiff's
+    linear_transpose of bilinear_sample, on escape-free geometry — both
+    the narrow whole-row route (w=80-ish train crops) and the blocked
+    route (w >= 384)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mvsformerplusplus_tpu.ops.geometry import plane_sweep_coords
+    from mvsformerplusplus_tpu.ops.grid_sample import (
+        _persample_banded_bwd, bilinear_sample)
+
+    rng = np.random.RandomState(41)
+    for h, w, c, d in ((16, 80, 8, 4), (16, 384, 8, 3)):
+        feat_shape = (1, h, w, c)
+        ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+        src_intr, src_ext = rand_camera(rng, h, w, angle=0.05, tx=0.2)
+        ref_proj = jnp.asarray(compose(ref_intr, ref_ext)[None])
+        src_proj = jnp.asarray(compose(src_intr, src_ext)[None])
+        dv = jnp.asarray(np.linspace(3.5, 4.5, d, dtype=np.float32)[None])
+        coords, _ = plane_sweep_coords(src_proj, ref_proj, dv, h, w)
+        ct = jnp.asarray(rng.randn(1, d, h, w, c).astype(np.float32))
+
+        got = _persample_banded_bwd(ct, coords, feat_shape, jnp.float32)
+        f = lambda im: bilinear_sample(im, coords)
+        (ref,) = jax.linear_transpose(
+            f, jax.ShapeDtypeStruct(feat_shape, jnp.float32))(ct)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4, err_msg=str((h, w)))
