@@ -102,6 +102,10 @@ def build_model(cfg: Config, dtype=jnp.bfloat16, **extra):
         warp_mode=args.get("warp_mode", "auto"),
         fold_depth=args.get("fold_depth", "auto"),
         warp_gy=args.get("warp_gy", "auto"),
+        # exact-gradient opt-out: False keeps autodiff's per-sample
+        # scatter backward for the folded warp (use for cams that have
+        # not passed tools/validate_warp_windows.py)
+        banded_bwd=args.get("banded_bwd", True),
         # 'cost_reg' = the reference's own checkpoint boundary; measured
         # faster than whole-stage remat once the warp went matmul-bound
         # (548 vs ~650 ms device time at the DTU MS train protocol)
@@ -119,6 +123,11 @@ def build_model(cfg: Config, dtype=jnp.bfloat16, **extra):
             vit_ch=args.get("vit_ch", 768),
             out_ch=args.get("out_ch", 64),
             freeze_vit=args.get("freeze_vit", True),
+            # ViT shape knobs (defaults = DINOv2-B): scaled down by the e2e
+            # oracle's from-scratch tiny flagship (tools/e2e_protocol.py)
+            vit_patch=args.get("vit_patch", 14),
+            vit_depth=args.get("vit_depth", 12),
+            vit_num_heads=args.get("vit_num_heads", 12),
             cross_interval_layers=dino_cfg.get("cross_interval_layers", 3),
             decoder_cfg=dino_cfg.get("decoder_cfg"),
             fmt_config=args.get("FMT_config"),

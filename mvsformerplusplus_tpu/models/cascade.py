@@ -27,6 +27,34 @@ from .stagenet import StageNet
 Array = jax.Array
 
 
+def cascade_kwargs(m) -> dict:
+    """CascadeDepth kwargs from any model carrying the shared cascade
+    fields (DINOv2MVSNet / CasMVSNet). Single construction point: used by
+    the models' setup AND the pre-flight window checker
+    (ops/window_check.py), so the cascade the checker reasons about is
+    exactly the one the model builds."""
+    return dict(
+        ndepths=m.ndepths,
+        depth_intervals_ratio=m.depth_intervals_ratio,
+        inverse_depth=m.inverse_depth,
+        cost_reg_type=m.cost_reg_type,
+        depth_type=m.depth_type,
+        groups=m.groups,
+        use_pe3d=m.use_pe3d,
+        transformer_config=m.transformer_config,
+        remat_stages=m.remat_stages,
+        remat_granularity=m.remat_granularity,
+        shard_views=m.shard_views,
+        shard_depth=m.shard_depth,
+        log_var=m.log_var,
+        warp_mode=m.warp_mode,
+        fold_depth=m.fold_depth,
+        warp_gy=m.warp_gy,
+        banded_bwd=m.banded_bwd,
+        dtype=m.dtype,
+    )
+
+
 class CascadeDepth(nn.Module):
     """Runs StageNets over per-stage features.
 
@@ -57,7 +85,9 @@ class CascadeDepth(nn.Module):
     # stage of the DTU eval protocol on v5e (r3 ablation,
     # docs/profiles/r3_warp_ablation.txt: stage4 242->124 ms, stage3
     # 122->86, stage2 95->59, stage1 65->56 per build_volume).
-    warp_mode: str = "auto"
+    # A sequence gives per-stage modes — the eval CLI's window enforcement
+    # uses this to fall back single offending stages to 'folded' (exact).
+    warp_mode: Any = "auto"
     # Depth-folding and row-group size per stage. For the banded warp the
     # measured optimum is uniform: gy=8, NO folding (folding widens the band
     # to fold_ky=24, growing every matmul 1.5x, and band re-fetch is cheap —
@@ -67,6 +97,11 @@ class CascadeDepth(nn.Module):
     # applies to every stage; a sequence is taken literally.
     fold_depth: Any = "auto"
     warp_gy: Any = "auto"
+    # route the folded warp's image backward through the banded matmul
+    # transpose (StageNet.banded_bwd); set False for datasets whose cams
+    # have not passed tools/validate_warp_windows.py (window-escaping
+    # samples get silently-zeroed gradients otherwise)
+    banded_bwd: bool = True
     # per-stage aleatoric-uncertainty heads (see StageNet.log_var); a bare
     # bool applies to every stage
     log_var: Any = False
@@ -95,56 +130,68 @@ class CascadeDepth(nn.Module):
             gy = int(self.warp_gy)
         return fold, gy
 
+    def resolved_warp_mode(self, i: int) -> str:
+        """Per-stage warp mode with 'auto' resolution (sequence-aware)."""
+        wm = (self.warp_mode[i]
+              if isinstance(self.warp_mode, (list, tuple))
+              else self.warp_mode)
+        if wm == "auto":
+            # 'auto': the banded-matmul warp on TPU (band DMA + exact
+            # one-hot MXU matmuls, ops/pallas/warp_band.py); 'folded'
+            # off-TPU where kernels would run interpreted
+            wm = ("banded" if jax.default_backend() in ("tpu", "axon")
+                  else "folded")
+        return wm
+
+    def stage_kwargs(self, i: int) -> dict:
+        """StageNet constructor kwargs for stage i (minus remat wrapping).
+
+        Shared by setup() and the pre-flight window checker
+        (ops/window_check.py) so what gets validated is exactly what runs.
+        """
+        nd = self.ndepths[i]
+        warp_mode = self.resolved_warp_mode(i)
+        tc = None
+        if self.cost_reg_type[i] == "PureTransformerCostReg" and self.transformer_config:
+            tc = self.transformer_config[min(i, len(self.transformer_config) - 1)]
+        return dict(
+            ndepth=nd,
+            groups=self.groups[i],
+            cost_reg_type=self.cost_reg_type[i],
+            depth_type=self.depth_type[i],
+            transformer_config=tc,
+            shard_views=self.shard_views,
+            shard_depth=self.shard_depth,
+            # bare bool: enable on every stage that SUPPORTS the
+            # uncertainty head (CostRegNet3D stages, like the
+            # reference's latent wire); an explicit per-stage list
+            # is taken literally and StageNet raises on stages that
+            # can't honor it
+            log_var=(self.log_var[i]
+                     if isinstance(self.log_var, (list, tuple))
+                     else bool(self.log_var)
+                     and self.cost_reg_type[i] != "PureTransformerCostReg"
+                     and nd <= 8),
+            warp_mode=warp_mode,
+            banded_bwd=self.banded_bwd,
+            fold_depth=self._stage_warp_plan(i, nd, warp_mode)[0],
+            xgrouped_gx=self._stage_warp_plan(i, nd, warp_mode)[1],
+            remat_cost_reg=(self.remat_stages
+                            and self.remat_granularity != "stage"),
+            # the first sweep spans the full scene range: band-
+            # sharing warp paths (grouped / fold_depth) stay off
+            full_range=(i == 0),
+            dtype=self.dtype,
+        )
+
     def setup(self):
         stages = []
-        warp_mode = self.warp_mode
-        if warp_mode == "auto":
-            warp_mode = ("banded" if jax.default_backend() in ("tpu", "axon")
-                         else "folded")
-        for i, nd in enumerate(self.ndepths):
-            tc = None
-            if self.cost_reg_type[i] == "PureTransformerCostReg" and self.transformer_config:
-                tc = self.transformer_config[min(i, len(self.transformer_config) - 1)]
+        for i in range(len(self.ndepths)):
             cls = StageNet
-            remat_cr = False
             if self.remat_stages and self.remat_granularity == "stage":
                 # whole-stage remat trades warp+reg FLOPs for HBM
                 cls = nn.remat(StageNet, static_argnums=(4, 6))
-            elif self.remat_stages:
-                remat_cr = True
-            stages.append(
-                cls(
-                    ndepth=nd,
-                    groups=self.groups[i],
-                    cost_reg_type=self.cost_reg_type[i],
-                    depth_type=self.depth_type[i],
-                    transformer_config=tc,
-                    shard_views=self.shard_views,
-                    shard_depth=self.shard_depth,
-                    # bare bool: enable on every stage that SUPPORTS the
-                    # uncertainty head (CostRegNet3D stages, like the
-                    # reference's latent wire); an explicit per-stage list
-                    # is taken literally and StageNet raises on stages that
-                    # can't honor it
-                    log_var=(self.log_var[i]
-                             if isinstance(self.log_var, (list, tuple))
-                             else bool(self.log_var)
-                             and self.cost_reg_type[i] != "PureTransformerCostReg"
-                             and nd <= 8),
-                    # 'auto': the banded-matmul warp on TPU (band DMA +
-                    # exact one-hot MXU matmuls, ops/pallas/warp_band.py);
-                    # 'folded' off-TPU where kernels would run interpreted
-                    warp_mode=warp_mode,
-                    fold_depth=self._stage_warp_plan(i, nd, warp_mode)[0],
-                    xgrouped_gx=self._stage_warp_plan(i, nd, warp_mode)[1],
-                    remat_cost_reg=remat_cr,
-                    # the first sweep spans the full scene range: band-
-                    # sharing warp paths (grouped / fold_depth) stay off
-                    full_range=(i == 0),
-                    dtype=self.dtype,
-                    name=f"stage{i + 1}",
-                )
-            )
+            stages.append(cls(**self.stage_kwargs(i), name=f"stage{i + 1}"))
         self.stages = stages
 
     def __call__(

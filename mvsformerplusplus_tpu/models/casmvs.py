@@ -38,6 +38,7 @@ class CasMVSNet(nn.Module):
     warp_mode: str = "auto"
     fold_depth: Any = "auto"
     warp_gy: Any = "auto"
+    banded_bwd: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -72,6 +73,7 @@ class CasMVSNet(nn.Module):
             warp_mode=self.warp_mode,
             fold_depth=self.fold_depth,
             warp_gy=self.warp_gy,
+            banded_bwd=self.banded_bwd,
             dtype=self.dtype,
             name="cascade",
         )(features, cams, depth_values, tmp, train)

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.resize import resize2d
-from .cascade import CascadeDepth
+from .cascade import CascadeDepth, cascade_kwargs
 from .cross_vit import CrossVITDecoder
 from .dino import DinoVisionTransformer
 from .fmt import FMTWithPathway
@@ -56,9 +56,10 @@ class DINOv2MVSNet(nn.Module):
     shard_views: bool = False
     shard_depth: bool = False
     log_var: Any = False
-    warp_mode: str = "auto"
+    warp_mode: Any = "auto"  # str, or a per-stage sequence
     fold_depth: Any = "auto"
     warp_gy: Any = "auto"
+    banded_bwd: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -96,26 +97,7 @@ class DINOv2MVSNet(nn.Module):
             dtype=self.dtype,
             name="fmt",
         )
-        self.cascade = CascadeDepth(
-            ndepths=self.ndepths,
-            depth_intervals_ratio=self.depth_intervals_ratio,
-            inverse_depth=self.inverse_depth,
-            cost_reg_type=self.cost_reg_type,
-            depth_type=self.depth_type,
-            groups=self.groups,
-            use_pe3d=self.use_pe3d,
-            transformer_config=self.transformer_config,
-            remat_stages=self.remat_stages,
-            remat_granularity=self.remat_granularity,
-            shard_views=self.shard_views,
-            shard_depth=self.shard_depth,
-            log_var=self.log_var,
-            warp_mode=self.warp_mode,
-            fold_depth=self.fold_depth,
-            warp_gy=self.warp_gy,
-            dtype=self.dtype,
-            name="cascade",
-        )
+        self.cascade = CascadeDepth(**cascade_kwargs(self), name="cascade")
 
     def vit_features(self, imgs_flat: Array, b: int, v: int, train: bool) -> Array:
         """imgs_flat: [B·V, H, W, 3] full-res -> [B, V, H/8, W/8, out_ch]."""

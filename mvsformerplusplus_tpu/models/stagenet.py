@@ -15,7 +15,7 @@ any explicit collective code.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -61,6 +61,74 @@ def _constrain(x: Array, spec: Optional[P]) -> Array:
     if spec is None:
         return x
     return jax.lax.with_sharding_constraint(x, spec)
+
+
+class WarpPlan(NamedTuple):
+    """Resolved static warp plan for one stage at feature shape (c, h, w)."""
+
+    mode: str        # final sampler after demotions: 'banded' | 'pallas' |
+                     # 'xgrouped' | 'grouped' | 'folded'
+    fold: bool       # depth-folding active (banded / pallas modes)
+    gy: int          # row-group size (banded / pallas / xgrouped)
+    ky: int          # band / patch-window height
+    wx: int          # x patch-window width (gather modes; 0 for banded —
+                     # the banded formulation has no x window)
+    blocked: bool    # banded per-128-px-block path (vs whole-row bands)
+    banded_bwd: bool  # 'folded' image backward routes through the banded
+                      # transpose (window-limited gradients) when c <= 16
+
+
+def resolve_warp_plan(st, c: int, h: int, w: int) -> WarpPlan:
+    """Resolve the sampler + window plan StageNet will use for a stage.
+
+    SINGLE SOURCE OF TRUTH for the demotion/auto-plan rules: used by
+    _build_volume_impl (the compute path), the eval CLI's pre-flight
+    window enforcement (test.py), the trainer's --debug escape check and
+    tools/validate_warp_windows.py — so what gets validated is exactly
+    what runs. `st` is anything with StageNet's warp fields (typically a
+    StageNet instance; constructing one just to read attrs is pure).
+    """
+    mode = st.warp_mode
+    if mode == "grouped" and (st.ndepth > st.grouped_warp_th
+                              or st.full_range):
+        mode = "folded"  # depth-grouping unsound for full-range sweeps
+    fold = (st.fold_depth and not st.full_range and not st.shard_depth
+            and st.ndepth <= st.grouped_warp_th and h >= st.fold_ky)
+    blocked_w = (not fold) and w % 128 == 0 and w >= 384
+    banded_c_cap = (st.banded_blocked_max_c if blocked_w
+                    else st.banded_max_c)
+    if mode == "banded" and (c % 8 != 0 or h % st.xgrouped_gx != 0
+                             or h < 2 * st.xgrouped_gx
+                             or c > banded_c_cap
+                             or st.shard_views or st.shard_depth):
+        mode = "pallas"
+    if mode == "pallas" and (c % 8 != 0 or h % st.xgrouped_gx != 0
+                             or w % 128 != 0 or c > st.pallas_max_c):
+        mode = "folded"
+    banded_bwd = bool(getattr(st, "banded_bwd", True)
+                      and not (st.shard_views or st.shard_depth))
+    if mode == "banded":
+        base_ky = st.banded_ky if blocked_w else max(st.banded_ky, 24)
+        gy = st.xgrouped_gx
+        ky = max(base_ky, st.fold_ky if fold else 2 * gy)
+        if (blocked_w and not fold and c in (16, 32) and h % 2 == 0
+                and gy == 8 and st.banded_ky == 16):
+            # C=16/32 auto plan: gy=2 row groups shrink the block v-span
+            # so ky=8 holds (escape-pinned at DTU, tests/test_fold_window)
+            gy, ky = 2, 8
+        return WarpPlan("banded", fold, gy, ky, 0, blocked_w, banded_bwd)
+    if mode == "pallas":
+        gy = st.xgrouped_gx
+        ky = st.fold_ky if fold else max(st.grouped_warp_kx, 2 * gy)
+        wx = st.fold_wx if fold else 6
+        return WarpPlan("pallas", fold, gy, ky, wx, False, banded_bwd)
+    if mode == "xgrouped":
+        return WarpPlan("xgrouped", False, st.xgrouped_gx, 0,
+                        st.grouped_warp_kx, False, banded_bwd)
+    if mode == "grouped":
+        return WarpPlan("grouped", False, 0, 2, st.grouped_warp_kx, False,
+                        banded_bwd)
+    return WarpPlan("folded", False, 0, 0, 0, False, banded_bwd)
 
 
 class StageNet(nn.Module):
@@ -145,6 +213,15 @@ class StageNet(nn.Module):
     # paths keep the gather form); backward is unchanged (the banded
     # transpose is formulation-independent).
     banded_fused: bool = True
+    # image backward of the 'folded' (per-sample gather) warp: True routes
+    # it through the banded matmul transpose (banded_image_grad — samples
+    # escaping the band window get ZERO gradient; escape-freedom is pinned
+    # for DTU geometries only, tests/test_fold_window.py), False keeps
+    # autodiff's exact per-sample scatter-add (~10x slower at train crops,
+    # r4 profile). USER-FACING: set model.args.banded_bwd=false for any
+    # dataset whose cams have not passed tools/validate_warp_windows.py.
+    # Sharding (shard_views/shard_depth) force-disables it regardless.
+    banded_bwd: bool = True
     # cap (bytes) on the unfolded pallas path's materialized patch temp; the
     # depth axis is lax.map-chunked to stay under it. The map's serialization
     # + per-iteration stacking costs real time (the stage-4 DTU eval while
@@ -255,46 +332,11 @@ class StageNet(nn.Module):
 
         # src features stay in model dtype through the gather (bilinear_sample
         # gathers in input dtype and blends in f32 — the fp32 island starts at
-        # the blend/correlation, reference models/cost_volume.py:64)
-        mode = self.warp_mode
-        if mode == "grouped" and (self.ndepth > self.grouped_warp_th
-                                  or self.full_range):
-            mode = "folded"  # depth-grouping unsound for full-range sweeps
-        would_fold = (self.fold_depth and not self.full_range
-                      and not self.shard_depth
-                      and self.ndepth <= self.grouped_warp_th
-                      and h >= self.fold_ky)
-        blocked_w = (not would_fold) and w % 128 == 0 and w >= 384
-        banded_c_cap = (self.banded_blocked_max_c if blocked_w
-                        else self.banded_max_c)
-        if mode == "banded" and (c % 8 != 0 or h % self.xgrouped_gx != 0
-                                 or h < 2 * self.xgrouped_gx
-                                 or c > banded_c_cap
-                                 or self.shard_views or self.shard_depth):
-            # the band kernel slices [ky*C] sublanes in C-steps (C%8) and
-            # groups H rows. C above the cap: the one-hot matmuls' [ky*C]
-            # contraction rows scale with C while the gather saving is
-            # fixed — measured v5e crossover (r3 sound ablation): stage3
-            # C=16 blocked 97 ms vs pallas 122, stage4 C=8 91 vs 242, and
-            # stage1 C=64 80 vs 65. The BLOCKED fused path moves the
-            # crossover past C=32 (gy=2/ky=8 plan: stage2 35.8 ms vs
-            # folded 106.1, r4 ablation); the whole-row path keeps 16.
-            # Under cv sharding it demotes until the pallas_call is
-            # validated under vmap/SPMD partitioning.
-            mode = "pallas"
-        if mode == "pallas" and (c % 8 != 0 or h % self.xgrouped_gx != 0
-                                 or w % 128 != 0 or c > self.pallas_max_c):
-            # kernel slices cells on f32 sublanes (C%8), groups H rows (H%gy),
-            # and blocks the patch's minor P=B*D*Hg*W dim in 128-lane
-            # multiples that must not straddle row boundaries (W%128).
-            # C>pallas_max_c (default 16): the blend's masked-MAC compute
-            # scales with C while the gather saving is fixed — measured
-            # crossover on v5e WITHOUT depth-folding is between C=16 (1.25x
-            # faster than folded) and C=32 (1.27x slower), so the coarse
-            # stages keep the folded single-gather path; fold changes the
-            # economics (16x fewer indices at stage-2 scale), so the knob
-            # exists to re-measure
-            mode = "folded"
+        # the blend/correlation, reference models/cost_volume.py:64).
+        # Sampler + window plan: see resolve_warp_plan for the demotion
+        # rules and their measured rationale (r3/r4 ablation notes).
+        plan = resolve_warp_plan(self, c, h, w)
+        mode = plan.mode
         grouped = mode in ("grouped", "xgrouped", "pallas", "banded")
         sub = c // self.groups
 
@@ -308,39 +350,12 @@ class StageNet(nn.Module):
                 if mode == "banded":
                     # banded-matmul warp (ops/pallas/warp_band.py): full-row
                     # band DMA + exact one-hot MXU matmuls — no per-pixel
-                    # gather indices at all. fold gating mirrors 'pallas'
-                    # (re-centered fine bands only; the y footprint must fit
-                    # the taller fold window)
-                    fold = (self.fold_depth
-                            and not self.full_range
-                            and not self.shard_depth
-                            and self.ndepth <= self.grouped_warp_th
-                            and h >= self.fold_ky)
-                    # per-128-px-block bands tolerate a short ky (block
-                    # v-span ~14); the whole-row fallback (narrow W) sees
-                    # row-wide spans and needs >= 24
-                    blocked = (not fold) and w % 128 == 0 and w >= 384
-                    base_ky = (self.banded_ky if blocked
-                               else max(self.banded_ky, 24))
-                    gy_b = self.xgrouped_gx
-                    ky_b = max(base_ky, self.fold_ky if fold
-                               else 2 * gy_b)
-                    if (blocked and not fold and c in (16, 32)
-                            and h % 2 == 0
-                            and gy_b == 8 and self.banded_ky == 16):
-                        # C=16/32 auto plan: gy=2 row groups shrink the
-                        # block v-span so ky=8 holds (ZERO escapes at the
-                        # DTU protocol for stages 2-4,
-                        # tests/test_fold_window.py) — ky*C stays at 1-2
-                        # MXU sublane tiles, halving the one-hot matmul
-                        # passes vs ky=16 (stage2 C=32 fused: 35.8 ms vs
-                        # 45.4). Applied only on the default plan
-                        # (explicit gy/ky overrides win).
-                        gy_b, ky_b = 2, 8
+                    # gather indices at all. Window plan (fold / blocked /
+                    # gy / ky) resolved by resolve_warp_plan above.
                     warped_cm, _ = homography_warp_banded(
                         src_feat_b, src_proj_b, ref_proj, depth_values,
-                        gy=gy_b, ky=ky_b,
-                        fold_depth=fold,
+                        gy=plan.gy, ky=plan.ky,
+                        fold_depth=plan.fold,
                         band_budget=self.warp_patch_budget,
                         fused=self.banded_fused,
                     )  # C-MAJOR [C, B, D, N] — the kernel's native layout
@@ -359,25 +374,13 @@ class StageNet(nn.Module):
                     entropy_flat = -jnp.sum(p * jnp.log(p + 1e-7), axis=1)
                     return corr_cm, entropy_flat
                 elif mode == "pallas":
-                    # fold shares one patch across the depth band: off for
-                    # full-range sweeps (unsound) and under D-sharding (the
-                    # shared anchor min couples the cv-sharded depth axis)
-                    fold = (self.fold_depth
-                            and not self.full_range
-                            and not self.shard_depth
-                            and self.ndepth <= self.grouped_warp_th
-                            and h >= self.fold_ky)
-                    # unfolded window must keep |dv/dy| slack >= 2 rows per
-                    # group row: ky >= 2*gy (gy=8 -> ky=16, gy=16 -> ky=32;
-                    # both parity-tested in tests/test_grid_sample.py)
+                    # fold shares one patch across the depth band (see
+                    # resolve_warp_plan for the gating); unfolded windows
+                    # keep ky >= 2*gy (parity-tested, tests/test_grid_sample)
                     warped_t, _ = homography_warp_ygrouped(
                         src_feat_b, src_proj_b, ref_proj, depth_values,
-                        gy=self.xgrouped_gx,
-                        ky=(self.fold_ky if fold
-                            else max(self.grouped_warp_kx,
-                                     2 * self.xgrouped_gx)),
-                        wx=self.fold_wx if fold else 6,
-                        fold_depth=fold,
+                        gy=plan.gy, ky=plan.ky, wx=plan.wx,
+                        fold_depth=plan.fold,
                         patch_budget=self.warp_patch_budget,
                     )  # [B, D, C, N]
                 elif mode == "xgrouped":
@@ -406,10 +409,11 @@ class StageNet(nn.Module):
                 return corr_t, entropy_flat
             warped, _ = homography_warp(
                 src_feat_b, src_proj_b, ref_proj, depth_values,
-                # banded matmul-transpose image backward — except under
+                # banded matmul-transpose image backward — user-gated
+                # (banded_bwd, see field docs) and force-disabled under
                 # vmap/SPMD cv sharding, where the banded pallas_call is
                 # unvalidated (same rule as the banded FORWARD gate)
-                banded_bwd=not (self.shard_views or self.shard_depth),
+                banded_bwd=plan.banded_bwd,
             )  # [B, D, H, W, C] f32
             # FULL-C product, NOT the G-channel correlation: the grouped
             # mean commutes with the view-weighted sum (both linear), so

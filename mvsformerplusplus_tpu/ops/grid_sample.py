@@ -289,17 +289,27 @@ def _group_anchors(x0: Array, y0: Array, h: int, w: int, ky: int, wx: int,
 
 
 def fold_escape_fraction(coords, h: int, w: int, gy: int = 8, ky: int = 24,
-                         wx: int = 12, fold: bool = True):
+                         wx: int = 12, fold: bool = True,
+                         row_group_stride: int = 1, d_stride: int = 1):
     """Diagnostic: fraction of IN-IMAGE corner samples whose corner misses
     the shared patch window (those blend to zero — the out-of-FOV class).
     coords: [B, D, H, W, 2] pixel units. fold=True anchors over (D, gy),
     False over gy only (the unfolded production path). Pure numpy; use to
     validate fold_ky/fold_wx on a new dataset's geometry before enabling
-    fold_depth (tests/test_fold_window.py pins DTU)."""
+    fold_depth (tests/test_fold_window.py pins DTU).
+
+    row_group_stride / d_stride subsample the evaluated row groups (and,
+    for fold=False where each depth's window is independent, the depth
+    slices) — the estimate stays exact per evaluated group; use for cheap
+    per-scan pre-flight checks (ops/window_check.py)."""
     import numpy as np
 
     d = coords.shape[1]
     c = np.asarray(coords).reshape(-1, d, h // gy, gy, w, 2)
+    if d_stride > 1 and not fold:
+        c = c[:, ::d_stride]
+    if row_group_stride > 1:
+        c = c[:, :, ::row_group_stride]
     x0 = np.floor(c[..., 0])
     y0 = np.floor(c[..., 1])
     axes = (1, 3) if fold else (3,)
@@ -314,7 +324,8 @@ def fold_escape_fraction(coords, h: int, w: int, gy: int = 8, ky: int = 24,
 
 def banded_escape_fraction(coords, h: int, w: int, gy: int = 8,
                            ky: int = 16, fold: bool = False,
-                           block_w: int = 0) -> float:
+                           block_w: int = 0, row_group_stride: int = 1,
+                           d_stride: int = 1) -> float:
     """Diagnostic for the banded warp's windows: fraction of IN-IMAGE
     corner samples missing the shared band (those blend to zero — the
     out-of-FOV class). block_w > 0 evaluates the production BLOCKED path
@@ -330,6 +341,12 @@ def banded_escape_fraction(coords, h: int, w: int, gy: int = 8,
     d = coords.shape[1]
     bw = block_w or w
     c = np.asarray(coords).reshape(-1, d, h // gy, gy, w // bw, bw, 2)
+    # subsampling: exact per evaluated (depth, row-group) — windows never
+    # couple across row groups, nor across depths when fold=False
+    if d_stride > 1 and not fold:
+        c = c[:, ::d_stride]
+    if row_group_stride > 1:
+        c = c[:, :, ::row_group_stride]
     y0 = np.floor(c[..., 1])
     x0 = np.floor(c[..., 0])
     inimg = ((y0 >= -1) & (y0 <= h - 1) & (x0 >= -1) & (x0 <= w - 1))
@@ -1217,7 +1234,8 @@ def _banded_blocked_bwd(ct_cm, coords_c, b, h, w, c, gy, ky):
 
 
 def banded_image_grad(ct_cm, coords, shape, dtype, gy: int = 8,
-                      ky: int = 48, fold_depth: bool = False):
+                      ky: int = 48, fold_depth: bool = False,
+                      whole_row_ky_floor: int = 48):
     """dL/dimg of ANY gradient-stopped warp via the banded matmul transpose.
 
     ct_cm: C-major cotangent [C, B, D, N]. The backward is an independent
@@ -1231,10 +1249,13 @@ def banded_image_grad(ct_cm, coords, shape, dtype, gy: int = 8,
       train crops) — 3x the contraction rows and ky sequential row
       scatters (r4t trace: stage-4 bwd 37.4 ms kernel + 23.7 slice +
       19.6 scatter; stage-3 55.7 + 19.4 + 14.1).
-    - narrow rows: WHOLE-ROW bands at ky >= 24 — row-wide v-spans at the
-      train-crop stages measure <= 16 in-image rows (escape diagnostics
-      at the DTU protocol geometry; 24 keeps a 50% margin). Validate new
-      datasets with tools/validate_warp_windows.py.
+    - narrow rows: WHOLE-ROW bands, floored at `whole_row_ky_floor`
+      (default 48 — safe for any caller). The DTU-validated StageNet path
+      passes 24 explicitly (row-wide v-spans at the train-crop stages
+      measure <= 16 in-image rows, escape diagnostics at the DTU protocol
+      geometry; 24 keeps a 50% margin and 2x fewer contraction rows).
+      Validate new datasets with tools/validate_warp_windows.py before
+      lowering the floor.
 
     Samples outside the window get zero gradient — the out-of-FOV class.
     This replaces the per-sample 4C-window scatter-add (1 GB/s,
@@ -1257,7 +1278,7 @@ def banded_image_grad(ct_cm, coords, shape, dtype, gy: int = 8,
         dimg_c = _banded_blocked_bwd(ct_cm.astype(jnp.float32), coords,
                                      b, h, w, c, gy, bky)
         return jnp.transpose(dimg_c, (0, 1, 3, 2)).astype(dtype)
-    ky = min(max(ky, 24), h)
+    ky = min(max(ky, whole_row_ky_floor), h)
     x_r, dyr_r, fy_r, starts, d_shared, hg = _banded_prep(
         coords, b, h, w, gy, ky, fold_depth)
     g = ct_cm.astype(jnp.float32).reshape(c, b * d * hg, gy, w)
@@ -1273,9 +1294,15 @@ def banded_image_grad(ct_cm, coords, shape, dtype, gy: int = 8,
 def _banded_stopgrad_bwd(gy, ky, fold_depth, band_budget, fused, res, ct):
     coords, ex = res
     shape, dtype = ex.shape[1:], ex.dtype
-    # ct arrives C-major [C, B, D, N] — the kernel's own output layout
+    # ct arrives C-major [C, B, D, N] — the kernel's own output layout.
+    # whole_row_ky_floor=24: this path only runs when the banded FORWARD
+    # ran, whose window plan the caller validated (StageNet auto plans are
+    # escape-pinned at DTU geometry, tests/test_fold_window.py;
+    # tools/validate_warp_windows.py covers new datasets) — the same
+    # validation covers the narrow-row backward at ky=24
+    # (tests/test_fold_window.py test_bwd_window_escapes_at_train_geometry)
     dimg = banded_image_grad(ct, coords, shape, dtype, gy=gy, ky=ky,
-                             fold_depth=fold_depth)
+                             fold_depth=fold_depth, whole_row_ky_floor=24)
     return dimg, jnp.zeros_like(coords)
 
 

@@ -275,7 +275,6 @@ def _fwd_kernel_blocked(bands_ref, x_ref, dyr_ref, fy_ref, out_ref,
     x = x_ref[0]
     dyr = dyr_ref[0]
     fy = fy_ref[0]
-    iota_u = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
 
     nch = bw // 128
     cols = []
@@ -284,11 +283,11 @@ def _fwd_kernel_blocked(bands_ref, x_ref, dyr_ref, fy_ref, out_ref,
         chunks = [band[:, ch * 128:(ch + 1) * 128] for ch in range(nch)]
         sl = slice(j * 128, (j + 1) * 128)
         cols.append(_blend_block(chunks, x[:, sl], dyr[:, sl], fy[:, sl],
-                                 iota_u, c, gy, ky))
+                                 c, gy, ky))
     out_ref[:, 0] = jnp.concatenate(cols, axis=2)  # [C, gy, JB*128]
 
 
-def _blend_block(chunks, x_block, dyr_block, fy_block, iota_u,
+def _blend_block(chunks, x_block, dyr_block, fy_block,
                  c: int, gy: int, ky: int):
     """Shared per-(128-px block) blend: window-column CHUNKS (list of
     [ky*C, 128] slabs in column order) + RELATIVE x/dyr/fy [gy, 128] ->
@@ -379,7 +378,6 @@ def _fwd_kernel_fused(starts_ref, x_ref, dyr_ref, fy_ref, img_ref, out_ref,
     x = x_ref[0]
     dyr = dyr_ref[0]
     fy = fy_ref[0]
-    iota_u = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
 
     nch = bw // 128
     cols = []
@@ -390,7 +388,7 @@ def _fwd_kernel_fused(starts_ref, x_ref, dyr_ref, fy_ref, img_ref, out_ref,
                   for ch in range(nch)]
         sl = slice(j * 128, (j + 1) * 128)
         cols.append(_blend_block(chunks, x[:, sl], dyr[:, sl], fy[:, sl],
-                                 iota_u, c, gy, ky))
+                                 c, gy, ky))
     out_ref[:, 0] = jnp.concatenate(cols, axis=2)  # [C, gy, JB*128]
 
 

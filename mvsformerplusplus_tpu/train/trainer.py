@@ -82,6 +82,7 @@ class Trainer:
                                       mode=self.monitor_mode)
         self.writer = ScalarWriter(self.save_dir, use_tensorboard)
         self.debug = debug
+        self._window_checked: set = set()
         self.images = (ImageWriter(self.save_dir, tb=self.writer.tb)
                        if log_images else None)
         self._plain_step = None
@@ -194,6 +195,35 @@ class Trainer:
             except ValueError:  # not the main thread (tests)
                 return
 
+    def _debug_window_check(self, batch):
+        """--debug mode: validate the warp-window plans against this
+        batch's ACTUAL camera geometry and FAIL LOUDLY if in-image samples
+        escape them — silently-zeroed warp samples/gradients otherwise
+        (the window plans are escape-pinned on DTU geometry only;
+        tools/validate_warp_windows.py is the standalone pre-flight)."""
+        from ..ops.window_check import scan_window_report
+
+        h, w = batch["imgs"].shape[-3:-1]
+        if (h, w) in self._window_checked:
+            return
+        self._window_checked.add((h, w))
+        reports = scan_window_report(
+            self.model, batch["cams"],
+            np.asarray(batch["depth_values"]), h, w, train=True,
+            prev_depth_quantiles=(0.25, 0.75), row_group_stride=4,
+            max_views=4)
+        for r in reports:
+            log.info("debug window check %s", r)
+        bad = [r for r in reports if not r.ok]
+        if bad:
+            raise ValueError(
+                "warp windows ESCAPE on this dataset's geometry: "
+                f"{[str(r) for r in bad]} — training would silently zero "
+                "warp samples/gradients. Set model.args.warp_mode='folded' "
+                "and/or model.args.banded_bwd=false for the offending "
+                "stages, or raise banded_ky after validating with "
+                "tools/validate_warp_windows.py.")
+
     def _report_debug(self, logs, epoch: int, i: int):
         """Per-module grad norms; WARN with the module names on inf/NaN
         (≡ reference --debug, trainer/mvsformer_trainer.py:151-168)."""
@@ -237,6 +267,8 @@ class Trainer:
             for i, (batch, crop_hw) in enumerate(self.train_loader.epoch(epoch)):
                 if state is None:
                     state = self.init_state(batch)
+                if self.debug:
+                    self._debug_window_check(batch)
                 batch = _array_batch(batch)
                 bsz = batch["imgs"].shape[0]
                 n_micro = self._micro_count(crop_hw, bsz)

@@ -66,15 +66,48 @@ def save_depths(args, cfg):
     model = build_model(cfg, dtype=jnp.bfloat16)
     tmp = tuple(args.tmp)
 
-    def _forward(v, i, c, d):
-        out = model.apply(v, i, c, d, tmp=tmp, train=False)
-        if args.conf_choose == "stage4":
-            conf = out["stage4"]["photometric_confidence"]
-        else:
-            conf = out["photometric_confidence"]
-        return out["refined_depth"], conf
+    def make_fwd(m):
+        def _forward(v, i, c, d):
+            out = m.apply(v, i, c, d, tmp=tmp, train=False)
+            if args.conf_choose == "stage4":
+                conf = out["stage4"]["photometric_confidence"]
+            else:
+                conf = out["photometric_confidence"]
+            return out["refined_depth"], conf
 
-    fwd = jax.jit(_forward)
+        return jax.jit(_forward)
+
+    fwd = make_fwd(model)
+
+    def enforce_windows(m, sample):
+        """Pre-flight window check on this scan's actual cams: the banded
+        warp's shared-window plans were validated on DTU geometry only —
+        a new dataset's cams can make in-FOV samples escape the windows
+        and silently blend to zero (the reference warp is unconditionally
+        exact, models/warping.py:69-109). Offending stages fall back to
+        warp_mode='folded' (exact gather) with a logged warning."""
+        from mvsformerplusplus_tpu.ops.window_check import (
+            fallback_warp_modes, scan_window_report)
+
+        h, w = sample["imgs"].shape[-3:-1]
+        cams_b = {k: np.asarray(v)[None] for k, v in sample["cams"].items()}
+        reports = scan_window_report(
+            m, cams_b, np.asarray(sample["depth_values"])[None], h, w,
+            prev_depth_quantiles=(0.25, 0.75), row_group_stride=4,
+            max_views=4)
+        for r in reports:
+            logging.info("window check %s", r)
+        modes, banded_bwd, changed = fallback_warp_modes(m, reports)
+        if not changed:
+            return m, None
+        logging.warning(
+            "warp windows ESCAPE on this scan's geometry; falling back "
+            "offending stages to exact warp: warp_mode=%s "
+            "(tools/validate_warp_windows.py diagnoses; raise banded_ky "
+            "or set model.args.warp_mode to silence)", modes)
+        m2 = build_model(cfg, dtype=jnp.bfloat16, warp_mode=tuple(modes),
+                         banded_bwd=banded_bwd)
+        return m2, make_fwd(m2)
 
     variables = None
     times = []
@@ -126,7 +159,14 @@ def save_depths(args, cfg):
             queue.heartbeat(scan)
 
     for cur_scan, loader in loaders():
+      scan_checked = False
       for sample in loader:
+        if not scan_checked:
+            scan_checked = True
+            if args.window_check != "off":
+                model2, fwd2 = enforce_windows(model, sample)
+                if fwd2 is not None:
+                    model, fwd = model2, fwd2
         imgs = jnp.asarray(sample["imgs"])[None]
         cams = jax.tree.map(lambda x: jnp.asarray(x)[None], sample["cams"])
         dv = jnp.asarray(sample["depth_values"])[None]
@@ -391,6 +431,10 @@ def main():
     p.add_argument("--reclaim_stale", type=float, default=0.0,
                    help="queue mode: steal claims older than this many "
                         "seconds with no .done (crashed-worker recovery)")
+    p.add_argument("--window_check", default="auto", choices=["auto", "off"],
+                   help="per-scan warp-window pre-flight: auto-fallback of "
+                        "stages whose banded/folded window plans escape on "
+                        "this geometry to the exact warp (ops/window_check)")
     p.add_argument("--gt_depth_path", default=None,
                    help="DTU GT depth dir -> writes depth_metric.txt (reference test.py:297-319)")
     p.add_argument("--skip_depth", action="store_true", help="fusion only")

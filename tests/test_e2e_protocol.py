@@ -63,13 +63,22 @@ def test_renderer_matches_framework_warp():
 
 
 @pytest.mark.slow
-def test_e2e_protocol(tmp_path):
-    """Train CasMVSNet briefly on the analytic scene, then run the FULL eval
-    pipeline (test.py: save_depth -> depth_metric.txt -> all three fusion
-    filters) and gate on end metrics vs the analytic GT."""
+@pytest.mark.parametrize("model_name", ["casmvs", "flagship"])
+def test_e2e_protocol(tmp_path, model_name):
+    """Train briefly on the analytic scene, then run the FULL eval pipeline
+    (test.py: save_depth -> depth_metric.txt -> all three fusion filters)
+    and gate on end metrics vs the analytic GT.
+
+    Both model families go through the gate: CasMVSNet (CNN cascade) and
+    the flagship DINOv2MVSNet composition (tiny unfrozen ViT -> SVA
+    decoder -> FMT pathway -> CTA stage-1 + 3D PE) — the arch dicts are
+    the SAME ones tools/e2e_protocol.py runs at the full DTU protocol on
+    TPU."""
     from mvsformerplusplus_tpu.data.synthetic import (GeometricScene,
                                                       make_geometric_dtu,
                                                       make_geometric_eval_scan)
+    sys.path.insert(0, str(REPO))
+    from tools.e2e_protocol import CASMVS_ARCH, FLAGSHIP_ARCH
 
     scene = GeometricScene(0, tex_res=1024)
     train_root = tmp_path / "train_data"
@@ -83,18 +92,10 @@ def test_e2e_protocol(tmp_path):
                              scene=scene)
     (train_root / "val.txt").write_text("scan1\n")
 
+    arch = {"casmvs": CASMVS_ARCH, "flagship": FLAGSHIP_ARCH}[model_name]
     cfg = {
-        "name": "e2e_oracle",
-        "arch": {"args": {
-            "model_type": "casmvs",
-            "feat_chs": [8, 16, 32, 64],
-            "base_ch": [8, 8, 8, 8],
-            "ndepths": [32, 16, 8, 4],
-            "depth_interals_ratio": [4.0, 2.67, 1.5, 1.0],
-            "depth_type": ["ce", "ce", "ce", "ce"],
-            "inverse_depth": True,
-            "cost_reg_type": ["Normal", "Normal", "Normal", "Normal"],
-        }},
+        "name": f"e2e_oracle_{model_name}",
+        "arch": {"args": arch},
         "data_loader": [{
             "type": "DTULoader",
             "args": {
@@ -112,7 +113,9 @@ def test_e2e_protocol(tmp_path):
                 },
             },
         }],
-        "optimizer": {"args": {"lr": 3e-3, "warmup_steps": 10, "min_lr": 0.05,
+        # vit_lr = lr: the flagship's tiny ViT trains from scratch here
+        "optimizer": {"args": {"lr": 3e-3, "vit_lr": 3e-3,
+                               "warmup_steps": 10, "min_lr": 0.05,
                                "weight_decay": 0.01}},
         "trainer": {"epochs": 12, "save_dir": str(tmp_path / "saved"),
                     "logging_every": 20, "monitor": "min mean_error",

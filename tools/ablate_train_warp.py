@@ -77,10 +77,12 @@ def main():
             ("banded gy2ky16", "banded", 2, 16, 64),
         ]
         for label, mode, gy, bky, max_c in variants:
-            m = vol_module(d, "banded" if mode != "auto_prod" else "banded",
-                           gy, bky, max_c if mode != "auto_prod" else 16,
+            # every variant routes through warp_mode="banded"; "production"
+            # only differs in the C cap (StageNet default banded_max_c=16,
+            # under which wide-C stages demote to the folded gather)
+            m = vol_module(d, "banded", gy, bky,
+                           max_c if mode != "auto_prod" else 16,
                            s == "stage1")
-            # "production" = the StageNet defaults (banded demotes by C cap)
             try:
                 vars_ = jax.jit(m.init)(
                     jax.random.PRNGKey(0), feats, cams[s], dvals)

@@ -1,26 +1,37 @@
 """Full DTU-protocol end-to-end accuracy run on the analytic oracle scene.
 
-    python tools/e2e_protocol.py [--steps-root /tmp/e2e_protocol] [--epochs 8]
+    python tools/e2e_protocol.py [--root /tmp/e2e_protocol] [--epochs 8]
+        [--models casmvs,flagship]
 
 The scaled-down CPU version lives in tests/test_e2e_protocol.py; this tool
 runs the SAME chain at the reference's DTU eval protocol (5 views,
-1152x1536, 192 depth hypotheses — README.md:91-96) on the TPU:
+1152x1536, 192 depth hypotheses — README.md:91-96) on the TPU, for BOTH
+model families:
 
-  1. render the analytic quad scene (exact GT depth) as a DTU-format train
-     set (512x640 crops bucket) and an MVSNet-format eval scan at protocol
-     resolution;
-  2. train CasMVSNet on it (CasMVSNet shares the full pipeline — cascade,
-     StageNet, warp kernels, losses, trainer — minus the frozen ViT whose
-     pretrained weights do not exist on this box);
-  3. run test.py at the full protocol -> depth_metric.txt vs analytic GT;
-  4. fuse with all three filters (pcd / dpcd / gipuma) and score each cloud
-     against the analytic surface (accuracy) and the back-projected GT
-     (completeness);
-  5. write docs/e2e_protocol_metrics.json (the committed artifact).
+  - casmvs: the CNN-only cascade baseline (reference
+    models/networks/casmvs_model.py);
+  - flagship: the full DINOv2MVSNet composition — 0.4375 ViT rescale ->
+    SVA cross-view decoder -> FMT + pathway -> CTA stage-1 regularizer
+    with 3D PE (reference models/networks/DINOv2_mvsformer_model.py) —
+    with a TINY from-scratch ViT (vit_ch=48, depth 3, unfrozen) because
+    the pretrained dinov2_vitb14 weights do not exist on this box. Every
+    subsystem that defines MVSFormer++ is on; only the backbone capacity
+    is scaled down.
 
-A composition bug anywhere (per-stage intrinsics, resize, warp conventions,
-bucket plumbing, fusion math) craters these end metrics; module-level parity
-tests cannot catch the composition.
+Per model: 1. render the analytic quad scene (exact GT depth) as a
+DTU-format train set (512x640 bucket) and an MVSNet-format eval scan at
+protocol resolution; 2. train on it; 3. run test.py at the full protocol
+-> depth_metric.txt vs analytic GT; 4. fuse with all three filters
+(pcd / dpcd / gipuma) and score each cloud against the analytic surface
+(accuracy) and the back-projected GT (completeness); 5. write
+docs/e2e_protocol_metrics.json plus the per-round trend copy
+docs/e2e_protocol_metrics_r{N}.json (--round) so kernel rounds cannot
+silently regress end accuracy (reference per-epoch val gate,
+trainer/mvsformer_trainer.py:256-354).
+
+A composition bug anywhere (per-stage intrinsics, resize, warp
+conventions, bucket plumbing, fusion math) craters these end metrics;
+module-level parity tests cannot catch the composition.
 """
 from __future__ import annotations
 
@@ -39,6 +50,56 @@ import numpy as np
 
 H, W = 1152, 1536
 TRAIN_H, TRAIN_W = 512, 640
+
+CASMVS_ARCH = {
+    "model_type": "casmvs",
+    "feat_chs": [8, 16, 32, 64], "base_ch": [8, 8, 8, 8],
+    "ndepths": [32, 16, 8, 4],
+    "depth_interals_ratio": [4.0, 2.67, 1.5, 1.0],
+    "depth_type": ["ce", "ce", "ce", "ce"],
+    "inverse_depth": True,
+    "cost_reg_type": ["Normal", "Normal", "Normal", "Normal"],
+}
+
+# The production flagship args (configs/mvsformerplusplus.json) with ONLY
+# the ViT scaled down (48ch x 3 blocks, unfrozen, random init) — SVA
+# decoder, FMT + pathway, CTA + 3D PE all at production shapes.
+FLAGSHIP_ARCH = {
+    "model_type": "DINOv2-tiny",
+    "feat_chs": [8, 16, 32, 64], "base_ch": [8, 8, 8, 8],
+    "ndepths": [32, 16, 8, 4],
+    "depth_interals_ratio": [4.0, 2.67, 1.5, 1.0],
+    "depth_type": ["ce", "ce", "ce", "ce"],
+    "inverse_depth": True,
+    "cost_reg_type": ["PureTransformerCostReg", "Normal", "Normal", "Normal"],
+    "use_pe3d": True,
+    "rescale": 0.4375,
+    "freeze_vit": False,
+    "vit_ch": 48, "vit_depth": 3, "vit_num_heads": 2, "out_ch": 64,
+    "dino_cfg": {
+        "cross_interval_layers": 3,
+        "decoder_cfg": {
+            "attention_type": "Linear", "d_model": 48, "nhead": 2,
+            "ffn_type": "ffn", "init_values": 1.0, "prev_values": 0.5,
+            "post_norm": False, "pre_norm_query": True,
+            "no_combine_norm": False,
+            "softmax_scale": "entropy_invariance", "train_avg_length": 762,
+        },
+    },
+    "FMT_config": {
+        "attention_type": "Linear", "base_channel": 8, "d_model": 64,
+        "ffn_type": "ffn", "init_values": 1.0,
+        "layer_names": ["self", "cross", "self", "cross"], "nhead": 4,
+        "post_norm": False, "pre_norm_query": False,
+        "softmax_scale": "entropy_invariance", "train_avg_length": 12185,
+    },
+    "transformer_config": [{
+        "base_channel": 8, "down_rate": [2, 4, 4], "layer_num": 6,
+        "mid_channel": 64, "mlp_ratio": 4, "num_heads": 4,
+        "position_encoding": True, "softmax_scale": "entropy_invariance",
+        "train_avg_length": 12185, "use_pe_proj": True,
+    }],
+}
 
 
 def build_data(root: Path):
@@ -87,29 +148,13 @@ def cloud_metrics(scene, ply_path: Path, eval_root: Path):
     }
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--root", default="/tmp/e2e_protocol")
-    ap.add_argument("--epochs", type=int, default=8)
-    ap.add_argument("--skip-train", action="store_true",
-                    help="reuse checkpoints from a previous run")
-    args = ap.parse_args()
-
-    root = Path(args.root)
-    root.mkdir(parents=True, exist_ok=True)
-    scene, tr, ev = build_data(root)
-
+def run_model(name: str, arch: dict, root: Path, scene, tr: Path, ev: Path,
+              epochs: int, skip_train: bool, env: dict) -> dict:
+    mroot = root / name
+    mroot.mkdir(parents=True, exist_ok=True)
     cfg = {
-        "name": "e2e_protocol",
-        "arch": {"args": {
-            "model_type": "casmvs",
-            "feat_chs": [8, 16, 32, 64], "base_ch": [8, 8, 8, 8],
-            "ndepths": [32, 16, 8, 4],
-            "depth_interals_ratio": [4.0, 2.67, 1.5, 1.0],
-            "depth_type": ["ce", "ce", "ce", "ce"],
-            "inverse_depth": True,
-            "cost_reg_type": ["Normal", "Normal", "Normal", "Normal"],
-        }},
+        "name": f"e2e_protocol_{name}",
+        "arch": {"args": arch},
         "data_loader": [{"type": "DTULoader", "args": {
             "datapath": str(tr), "train_data_list": str(tr / "train.txt"),
             "mode": "train", "nviews": 5, "num_depths": 32,
@@ -121,33 +166,28 @@ def main():
                                  "resize_range": [1.0, 1.0],
                                  "scale_batch_map": {str(TRAIN_H): 2}},
         }}],
-        "optimizer": {"args": {"lr": 3e-3, "warmup_steps": 20,
+        # vit_lr: the oracle's tiny ViT trains FROM SCRATCH (no pretrained
+        # weights exist here), so it gets the same lr as the rest
+        "optimizer": {"args": {"lr": 3e-3, "vit_lr": 3e-3,
+                               "warmup_steps": 20,
                                "min_lr": 0.05, "weight_decay": 0.01}},
-        "trainer": {"epochs": args.epochs, "save_dir": str(root / "saved"),
+        "trainer": {"epochs": epochs, "save_dir": str(mroot / "saved"),
                     "logging_every": 10, "monitor": "min mean_error",
                     "early_stop": 100},
     }
-    (root / "cfg.json").write_text(json.dumps(cfg))
-    # APPEND to PYTHONPATH: replacing it drops the axon sitecustomize dir
-    # that registers the TPU-relay plugin ("Backend 'axon' is not known")
-    env = dict(os.environ, PYTHONPATH=os.pathsep.join(
-        [str(REPO), os.environ.get("PYTHONPATH", "")]))
+    (mroot / "cfg.json").write_text(json.dumps(cfg))
 
     t0 = time.time()
-    if not args.skip_train:
+    if not skip_train:
         r = subprocess.run(
             [sys.executable, str(REPO / "train.py"), "-c",
-             str(root / "cfg.json"), "--save_dir", str(root / "saved")],
+             str(mroot / "cfg.json"), "--save_dir", str(mroot / "saved")],
             env=env, cwd=str(REPO))
-        assert r.returncode == 0, "training failed"
+        assert r.returncode == 0, f"training failed ({name})"
     train_s = time.time() - t0
 
     (root / "list.txt").write_text("scan1\n")
-    results = {"protocol": f"5 views, {H}x{W}, 192 depths, bf16 TPU",
-               "model": "casmvs (trained on the analytic scene; pretrained "
-                        "reference weights are not available on this box)",
-               "train_epochs": args.epochs,
-               "train_seconds": round(train_s, 1)}
+    results = {"train_epochs": epochs, "train_seconds": round(train_s, 1)}
     filters = [
         ("pcd", ["--filter_method", "pcd", "--conf", "0.3",
                  "--fusion_view", "5"]),
@@ -157,19 +197,19 @@ def main():
                     "--disp_threshold", "1.0", "--num_consistent", "2",
                     "--fusion_view", "5"]),
     ]
-    for name, extra in filters:
-        out = root / f"out_{name}"
+    for fname, extra in filters:
+        out = mroot / f"out_{fname}"
         t0 = time.time()
         r = subprocess.run(
             [sys.executable, str(REPO / "test.py"),
-             "--config", str(root / "cfg.json"),
-             "--ckpt", str(root / "saved" / "checkpoints"),
+             "--config", str(mroot / "cfg.json"),
+             "--ckpt", str(mroot / "saved" / "checkpoints"),
              "--testpath", str(ev), "--testlist", str(root / "list.txt"),
              "--outdir", str(out), "--gt_depth_path", str(ev / "gt_depths"),
              "--num_view", "5", "--numdepth", "192",
              "--max_h", str(H), "--max_w", str(W)] + extra,
             env=env, cwd=str(REPO))
-        assert r.returncode == 0, f"test.py failed ({name})"
+        assert r.returncode == 0, f"test.py failed ({name}/{fname})"
         entry = {"eval_seconds": round(time.time() - t0, 1)}
         metric_txt = out / "depth_metric.txt"
         if metric_txt.exists():
@@ -181,12 +221,63 @@ def main():
                     except ValueError:
                         pass
         entry.update(cloud_metrics(scene, out / "scan1.ply", ev))
-        results[name] = entry
-        print(name, json.dumps(entry), flush=True)
+        results[fname] = entry
+        print(name, fname, json.dumps(entry), flush=True)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/e2e_protocol")
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--flagship-epochs", type=int, default=0,
+                    help="override epochs for the flagship (0 = --epochs)")
+    ap.add_argument("--models", default="casmvs,flagship")
+    ap.add_argument("--round", type=int, default=0,
+                    help="also write docs/e2e_protocol_metrics_r{N}.json")
+    ap.add_argument("--skip-train", action="store_true",
+                    help="reuse checkpoints from a previous run")
+    args = ap.parse_args()
+
+    root = Path(args.root)
+    root.mkdir(parents=True, exist_ok=True)
+    scene, tr, ev = build_data(root)
+
+    # APPEND to PYTHONPATH: replacing it drops the axon sitecustomize dir
+    # that registers the TPU-relay plugin ("Backend 'axon' is not known")
+    env = dict(os.environ, PYTHONPATH=os.pathsep.join(
+        [str(REPO), os.environ.get("PYTHONPATH", "")]))
+
+    archs = {"casmvs": (CASMVS_ARCH, args.epochs),
+             "flagship": (FLAGSHIP_ARCH,
+                          args.flagship_epochs or args.epochs)}
+    results = {"protocol": f"5 views, {H}x{W}, 192 depths, bf16 TPU",
+               "note": "both models trained from scratch on the analytic "
+                       "scene (pretrained reference weights are not "
+                       "available on this box); flagship = full "
+                       "DINOv2MVSNet composition with a tiny unfrozen ViT "
+                       "(48ch x 3 blocks)"}
+    for name in args.models.split(","):
+        arch, ep = archs[name]
+        results[name] = run_model(name, arch, root, scene, tr, ev, ep,
+                                  args.skip_train, env)
 
     art = REPO / "docs" / "e2e_protocol_metrics.json"
+    # merge with an existing artifact so running one model doesn't drop
+    # the other's committed section
+    if art.exists():
+        try:
+            prev = json.loads(art.read_text())
+            for k, v in prev.items():
+                results.setdefault(k, v)
+        except (json.JSONDecodeError, AttributeError):
+            pass
     art.write_text(json.dumps(results, indent=2) + "\n")
     print("wrote", art, flush=True)
+    if args.round:
+        rart = REPO / "docs" / f"e2e_protocol_metrics_r{args.round:02d}.json"
+        rart.write_text(json.dumps(results, indent=2) + "\n")
+        print("wrote", rart, flush=True)
     return 0
 
 

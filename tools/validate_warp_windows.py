@@ -3,25 +3,29 @@
 The banded-matmul warp (ops/pallas/warp_band.py) and the depth-folded
 gather paths share source-image windows across pixel groups; samples whose
 bilinear corners miss a window blend to zero (the out-of-FOV class). The
-window sizes (StageNet.banded_ky / fold_ky / fold_wx) were chosen by
-MEASURING escape fractions at the DTU protocol (tests/test_fold_window.py)
-— a new dataset's cams (T&T, ETH3D, a COLMAP export) must be validated the
-same way before a production run.
+window plans were chosen by MEASURING escape fractions at the DTU protocol
+(tests/test_fold_window.py) — a new dataset's cams (T&T, ETH3D, a COLMAP
+export) must be validated the same way before a production run.
 
-This tool runs the shipped escape diagnostics
-(ops/grid_sample.banded_escape_fraction / fold_escape_fraction) over real
-cam files at the cascade's scheduled hypothesis bands and prints a
-go/no-go table per stage with a recommendation:
+This tool resolves the EXACT per-stage plans StageNet will run (via
+ops/window_check.scan_window_report -> models/stagenet.resolve_warp_plan —
+the same code path test.py's per-scan enforcement uses) over real cam
+files and prints a go/no-go table per stage:
 
     python tools/validate_warp_windows.py --data /path/to/scan \
         [--pair pair.txt] [--num_views 5] [--ndepth 192] \
-        [--interval_scale 1.06] [--resolution 1152x1536] [--samples 8]
+        [--interval_scale 1.06] [--resolution 1152x1536] [--samples 8] \
+        [--train]   # also check the banded backward (gradient) windows
 
 Layout expected: standard MVSNet scan dir (cams/{idx:08d}_cam.txt +
 pair.txt), the same files test.py consumes. Escapes <= 0.3% (the DTU
 epipolar-degenerate class) -> OK; above that the tool recommends a taller
 window or `warp_mode=folded` (exact per-sample gather) for the offending
-stage via the config's model.args knobs.
+stage via the config's model.args knobs. Exit code 1 on any failure.
+
+Note test.py now ALSO runs this check per scan and auto-falls back
+offending stages (--window_check auto); this tool remains the standalone
+pre-flight for training runs and CI.
 """
 from __future__ import annotations
 
@@ -33,31 +37,11 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax.numpy as jnp
-
-from mvsformerplusplus_tpu.data.io import (build_camera_stack, read_cam_file,
-                                           read_pair_file, scale_intrinsics)
-from mvsformerplusplus_tpu.ops.geometry import (compose_projection,
-                                                plane_sweep_coords)
-from mvsformerplusplus_tpu.ops.grid_sample import (banded_escape_fraction,
-                                                   fold_escape_fraction)
-from mvsformerplusplus_tpu.ops.sampling import (init_inverse_range,
-                                                schedule_inverse_range)
-
-# production plans (models/stagenet.py auto rules): (gy, ky) for the
-# blocked banded path per stage channel width
-STAGES = (
-    # name, scale, ndepth, ratio, (gy, ky) banded plan, fold plan or None
-    ("stage1", 8, 32, None, (8, 24), None),          # whole-row (W/8)
-    ("stage2", 4, 16, 2.67, (2, 8), None),           # blocked C=32 auto
-    ("stage3", 2, 8, 1.5, (2, 8), None),
-    ("stage4", 1, 4, 1.0, (8, 16), None),
-)
-THRESH = 0.003  # the DTU epipolar-degenerate residual class
-
 
 def load_scan(data_dir: str, pair_name: str, num_views: int,
               interval_scale: float):
+    from mvsformerplusplus_tpu.data.io import read_cam_file, read_pair_file
+
     pair_path = os.path.join(data_dir, pair_name)
     if not os.path.exists(pair_path):
         pair_path = os.path.join(data_dir, "pair.txt")
@@ -91,23 +75,45 @@ def main() -> int:
                     help="native cam HxW the intrinsics were written for")
     ap.add_argument("--samples", type=int, default=8,
                     help="reference views sampled per scan")
+    ap.add_argument("--warp_mode", default="banded",
+                    help="mode to validate ('banded' = the TPU production "
+                         "default; 'auto' resolves per backend)")
+    ap.add_argument("--train", action="store_true",
+                    help="also validate the banded BACKWARD (gradient) "
+                         "windows used when training at this geometry")
+    ap.add_argument("--ndepths", default="32,16,8,4")
+    ap.add_argument("--feat_chs", default="8,16,32,64")
     args = ap.parse_args()
+
+    from mvsformerplusplus_tpu.data.io import (build_camera_stack,
+                                               scale_intrinsics)
+    from mvsformerplusplus_tpu.models.casmvs import CasMVSNet
+    from mvsformerplusplus_tpu.ops.window_check import (DEFAULT_THRESH,
+                                                        scan_window_report)
 
     H, W = (int(v) for v in args.resolution.split("x"))
     nh, nw = (int(v) for v in args.native.split("x"))
+    ndepths = tuple(int(v) for v in args.ndepths.split(","))
+    feat_chs = tuple(int(v) for v in args.feat_chs.split(","))
     scans = load_scan(args.data, args.pair, args.num_views,
                       args.interval_scale)
     if not scans:
         print("no pairs found", file=sys.stderr)
         return 2
-    idx = np.linspace(0, len(scans) - 1, min(args.samples, len(scans)))
-    worst = {name: 0.0 for name, *_ in STAGES}
 
+    # a model carrier for the cascade/warp fields — the checker reads its
+    # plan exactly as StageNet would resolve it
+    model = CasMVSNet(feat_chs=feat_chs, ndepths=ndepths,
+                      warp_mode=args.warp_mode)
+
+    idx = np.linspace(0, len(scans) - 1, min(args.samples, len(scans)))
+    worst = None
     for si in idx.astype(int):
         views, cams, dmin, ditv = scans[si]
         v = len(cams)
         stacks = {}
-        for name, sc, *_ in STAGES:
+        for i in range(len(ndepths)):
+            sc = 2 ** (len(ndepths) - 1 - i)
             cam = np.zeros((1, v, 2, 4, 4), np.float32)
             for j, (intr, ext) in enumerate(cams):
                 # test.py's convention: intrinsics scaled to the eval
@@ -117,42 +123,38 @@ def main() -> int:
                 k[1] *= H / nh
                 cam[0, j] = build_camera_stack(
                     scale_intrinsics(k, 1.0 / sc), ext)
-            stacks[name] = cam
+            stacks[f"stage{i + 1}"] = cam
+        dv = (dmin + np.arange(args.ndepth, dtype=np.float32)
+              * ditv)[None]
+        reports = scan_window_report(model, stacks, dv, H, W,
+                                     train=args.train,
+                                     row_group_stride=2)
+        if worst is None:
+            worst = reports
+        else:
+            for wr, r in zip(worst, reports):
+                if r.escape_fwd > wr.escape_fwd:
+                    wr.escape_fwd = r.escape_fwd
+                if r.escape_bwd > wr.escape_bwd:
+                    wr.escape_bwd = r.escape_bwd
+                wr.ok = wr.ok and r.ok
 
-        dv = jnp.asarray(
-            (dmin + np.arange(args.ndepth, dtype=np.float32) * ditv)[None])
-        hypo = init_inverse_range(dv, 32, H // 8, W // 8)
-        for name, sc, nd, ratio, (gy, ky), _ in STAGES:
-            h, w = H // sc, W // sc
-            if ratio is not None:
-                hypo = schedule_inverse_range(
-                    hypo[:, hypo.shape[1] // 2], hypo, nd, ratio, h, w)
-            proj = compose_projection(jnp.asarray(stacks[name]))
-            block_w = 128 if (w % 128 == 0 and w >= 384) else 0
-            kk = ky if block_w else max(ky, 24)
-            for vi in range(1, v):
-                coords, _ = plane_sweep_coords(
-                    proj[:, vi], proj[:, 0], hypo, h, w)
-                esc = banded_escape_fraction(
-                    np.asarray(coords), h, w, gy=gy, ky=kk, block_w=block_w)
-                worst[name] = max(worst[name], esc)
-
-    print(f"{'stage':8s} {'plan':16s} {'worst escape':>12s}  verdict")
+    print(f"{'stage':8s} {'plan':22s} {'fwd escape':>11s} "
+          f"{'bwd escape':>11s}  verdict")
     bad = False
-    for name, sc, nd, ratio, (gy, ky), _ in STAGES:
-        w = W // sc
-        block_w = 128 if (w % 128 == 0 and w >= 384) else 0
-        kk = ky if block_w else max(ky, 24)
-        plan = f"gy={gy} ky={kk} {'blk' if block_w else 'row'}"
-        ok = worst[name] <= THRESH
-        bad |= not ok
-        verdict = ("OK" if ok else
+    for r in worst:
+        plan = (f"{r.mode} gy={r.gy} ky={r.ky} "
+                f"{'blk' if r.blocked else 'row'}{' fold' if r.fold else ''}")
+        bad |= not r.ok
+        verdict = ("OK" if r.ok else
                    "ESCAPES — raise banded_ky or set warp_mode=folded")
-        print(f"{name:8s} {plan:16s} {worst[name]:12.5f}  {verdict}")
+        print(f"{r.stage:8s} {plan:22s} {r.escape_fwd:11.5f} "
+              f"{r.escape_bwd:11.5f}  {verdict}")
     if bad:
         print("\nRecommendation: set model.args.warp_mode='folded' (exact "
-              "per-sample gather) for this dataset, or raise banded_ky and "
-              "re-run this check.", file=sys.stderr)
+              "per-sample gather) for this dataset (plus banded_bwd=false "
+              "if the bwd column fails), or raise banded_ky and re-run "
+              f"this check (threshold {DEFAULT_THRESH}).", file=sys.stderr)
     return 1 if bad else 0
 
 
