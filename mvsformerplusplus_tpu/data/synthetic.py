@@ -235,6 +235,35 @@ def geometric_cameras(n_views: int, h: int, w: int, baseline: float = 55.0):
     return cams
 
 
+def tnt_cameras(n_views: int, h: int, w: int, arc_deg: float = 80.0,
+                height_deg: float = 45.0, roll_deg: float = 10.0,
+                radius: float = 650.0):
+    """Tanks&Temples-like rig: many wide-baseline views on an orbit segment
+    around the scene, varied heights, slight per-view roll (hand-held
+    class). The reference evaluates T&T with 20 source views at 1088x1920
+    (scripts/test_tt_inter.sh:3-54); this rig reproduces the geometry
+    CLASS — yaw spans of tens of degrees between ref and far sources, the
+    regime that stresses shared warp-window plans hardest."""
+    f = 1160.0 * (w / 1920.0)  # short-focal (wide FOV) T&T class
+    K = np.array([[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1]], np.float32)
+    target = np.array([0.0, 0.0, 650.0])
+    cams = []
+    for i in range(n_views):
+        # ref dead-center; sources staggered outward on the arc
+        t = ((i + 1) // 2) * (1 if i % 2 else -1) / max(1, (n_views - 1) // 2)
+        yaw = np.deg2rad(arc_deg / 2.0 * t)
+        pitch = np.deg2rad(height_deg / 2.0 * np.sin(3.1 * t))
+        pos = target + radius * np.array([
+            np.sin(yaw) * np.cos(pitch),
+            np.sin(pitch),
+            -np.cos(yaw) * np.cos(pitch),
+        ])
+        roll = np.deg2rad(roll_deg) * np.sin(7.3 * t)
+        up = np.array([np.sin(roll), -np.cos(roll), 0.0])
+        cams.append((K.copy(), lookat_extrinsic(pos, target, up=up)))
+    return cams
+
+
 def _depth_range(depths, ndepth: int):
     """(depth_min, interval) covering the rendered GT with margin."""
     valid = depths[depths > 0]
@@ -245,10 +274,12 @@ def _depth_range(depths, ndepth: int):
 
 def make_geometric_eval_scan(root: Path, scan: str = "scan1", n_views: int = 5,
                              h: int = 1152, w: int = 1536, ndepth: int = 192,
-                             seed: int = 0, scene: "GeometricScene" = None):
+                             seed: int = 0, scene: "GeometricScene" = None,
+                             cameras=None):
     """MVSNet eval layout (scan/images, scan/cams, scan/pair.txt) + GT depth
     PFMs under root/gt_depths/<scan>/ for test.py --gt_depth_path. Returns
-    the scene (for cloud-accuracy checks)."""
+    the scene (for cloud-accuracy checks). `cameras` overrides the default
+    DTU-like rig with an explicit [(K, E), ...] list (e.g. tnt_cameras)."""
     from PIL import Image
 
     from .io import save_cam_file, save_pair_file, save_pfm
@@ -261,7 +292,7 @@ def make_geometric_eval_scan(root: Path, scan: str = "scan1", n_views: int = 5,
     gt_dir = root / "gt_depths" / scan
     gt_dir.mkdir(parents=True, exist_ok=True)
 
-    cams = geometric_cameras(n_views, h, w)
+    cams = cameras if cameras is not None else geometric_cameras(n_views, h, w)
     depths = []
     for vid, (K, E) in enumerate(cams):
         img, depth = scene.render(K, E, h, w)

@@ -94,7 +94,11 @@ def resolve_warp_plan(st, c: int, h: int, w: int) -> WarpPlan:
         mode = "folded"  # depth-grouping unsound for full-range sweeps
     fold = (st.fold_depth and not st.full_range and not st.shard_depth
             and st.ndepth <= st.grouped_warp_th and h >= st.fold_ky)
-    blocked_w = (not fold) and w % 128 == 0 and w >= 384
+    # banded_wpad opts narrow crops (W < 384) into the BLOCKED path by
+    # padding the grid/source widths (ops/grid_sample.py _banded_impl)
+    blocked_w = (not fold) and (
+        (w % 128 == 0 and w >= 384)
+        or (getattr(st, "banded_wpad", False) and w % 8 == 0))
     banded_c_cap = (st.banded_blocked_max_c if blocked_w
                     else st.banded_max_c)
     if mode == "banded" and (c % 8 != 0 or h % st.xgrouped_gx != 0
@@ -213,6 +217,11 @@ class StageNet(nn.Module):
     # paths keep the gather form); backward is unchanged (the banded
     # transpose is formulation-independent).
     banded_fused: bool = True
+    # opt-in: route narrow-crop stages (W < 384) through the BLOCKED
+    # banded path by W-padding grid and source (exact; pads are the
+    # out-of-FOV class). Off by default pending per-shape measurement
+    # (tools/ablate_train_warp.py rows).
+    banded_wpad: bool = False
     # image backward of the 'folded' (per-sample gather) warp: True routes
     # it through the banded matmul transpose (banded_image_grad — samples
     # escaping the band window get ZERO gradient; escape-freedom is pinned
@@ -358,6 +367,8 @@ class StageNet(nn.Module):
                         fold_depth=plan.fold,
                         band_budget=self.warp_patch_budget,
                         fused=self.banded_fused,
+                        wpad=(plan.blocked
+                              and not (w % 128 == 0 and w >= 384)),
                     )  # C-MAJOR [C, B, D, N] — the kernel's native layout
                     # C-major correlation: consumes the warp output with no
                     # relayout ([C, B*D*N] -> [B, D, C, N] transposes cost

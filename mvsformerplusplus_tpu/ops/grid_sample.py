@@ -999,7 +999,7 @@ def _banded_prep(coords_c: Array, b: int, h: int, w: int, gy: int, ky: int,
 
 
 def _banded_blocked_prep(coords_c: Array, b: int, h: int, w: int, gy: int,
-                         ky: int):
+                         ky: int, src_nj: int = 0):
     """Per-(b, d, row-group, 128-px block) robust anchors for the BLOCKED
     banded path: whole-row bands are unsound under epipolar tilt (in-image
     v spans up to 80 rows across a stage-4 DTU row; <= 14.4 within any
@@ -1007,10 +1007,16 @@ def _banded_blocked_prep(coords_c: Array, b: int, h: int, w: int, gy: int,
 
     Returns (x_rel, dyr, fy [NBROWS, gy, W] f32 — x RELATIVE to each
     block's 128-aligned column anchor — and starts [B, NBb, 2] int32 of
-    (band top row, column chunk index))."""
+    (band top row, column chunk index)).
+
+    src_nj: source-image chunk count when it differs from the OUTPUT grid
+    width (the W-padded variant for narrow crops: grid padded to a 128
+    multiple, source padded to >= 384 so the 3-chunk window is always
+    legal). 0 = same as the grid (the usual shared-resolution case)."""
     dc = coords_c.shape[1]
     hg = h // gy
     nj = w // 128
+    src_nj = src_nj or nj
     cf = coords_c.astype(jnp.float32).reshape(b, dc, hg, gy, nj, 128, 2)
     x = cf[..., 0]
     y = cf[..., 1]
@@ -1018,7 +1024,7 @@ def _banded_blocked_prep(coords_c: Array, b: int, h: int, w: int, gy: int,
     fy = y - y0
     x0 = jnp.floor(x)
     in_img = ((y0 >= -1) & (y0 <= h - 1)
-              & (x0 >= -1) & (x0 <= w - 1))
+              & (x0 >= -1) & (x0 <= src_nj * 128 - 1))
     big = jnp.float32(1e9)
     ay = jnp.clip(jnp.min(jnp.where(in_img, y0, big), axis=(3, 5)),
                   0, h - ky)                       # [B, Dc, Hg, NJ]
@@ -1027,7 +1033,7 @@ def _banded_blocked_prep(coords_c: Array, b: int, h: int, w: int, gy: int,
     # block's ~130-px u-span under tilt (measured u-window escapes). Three
     # chunks guarantee 257.
     k0 = jnp.clip(jnp.min(jnp.where(in_img, x0, big), axis=(3, 5)) // 128,
-                  0, nj - 3).astype(jnp.int32)     # chunk index
+                  0, src_nj - 3).astype(jnp.int32)     # chunk index
     dyr = y0 - ay[:, :, :, None, :, None]
     x_rel = x - (k0 * 128).astype(jnp.float32)[:, :, :, None, :, None]
     starts = jnp.stack(
@@ -1084,9 +1090,9 @@ def _banded_chunk_fwd(img_f, coords_c, b, h, w, c, gy, ky, fold_depth):
     return out.reshape(c, b, dc, h * w)  # [C, B, Dc, N]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget,
-                     fused=False):
+                     fused=False, wpad=False):
     """Banded-matmul sampler with gradient-stopped coordinates (the
     reference-default no_grad warp grid). Forward AND backward avoid
     per-sample index traffic entirely: the backward is the transposed
@@ -1095,20 +1101,21 @@ def _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget,
     4C-window scatter that ran at 1 GB/s (~270 ms) in the r3 train profile.
     """
     return _banded_impl(img, coords, gy, ky, fold_depth, band_budget,
-                        fused)
+                        fused, wpad)
 
 
 def _banded_blocked_fwd(img_l5, coords_c, b, h, w, c, gy, ky,
-                        fused: bool = False):
+                        fused: bool = False, src_nj: int = 0):
     """img_l5: [B, H, C, W/128, 128] (gather path) or [B, H, W/128, C, 128]
     (fused path — the chunk dim must sit outside the tiled (C, 128) minor
-    pair so the kernel's 3-chunk DMA slice is legal)."""
+    pair so the kernel's 3-chunk DMA slice is legal). src_nj: source chunk
+    count when padded wider than the output grid (see _banded_blocked_prep)."""
     from .pallas.warp_band import (banded_warp_blocked,
                                    banded_warp_blocked_fused)
 
     dc = coords_c.shape[1]
     x_rel, dyr_r, fy_r, starts, starts3 = _banded_blocked_prep(
-        coords_c, b, h, w, gy, ky)
+        coords_c, b, h, w, gy, ky, src_nj=src_nj)
     if fused:
         # bands DMA'd in-kernel straight from the image (HBM): no [NB,
         # ky*C, BW] band tensor, ~3x less band traffic (gather read +
@@ -1123,13 +1130,38 @@ def _banded_blocked_fwd(img_l5, coords_c, b, h, w, c, gy, ky,
 
 
 def _banded_impl(img, coords, gy, ky, fold_depth, band_budget,
-                 fused=False):
+                 fused=False, wpad=False):
     b, h, w, c = img.shape
     d = coords.shape[1]
     hg = h // gy
     assert h % gy == 0 and ky <= h, (h, gy, ky)
 
     blocked = (not fold_depth) and w % 128 == 0 and w >= 384
+    if (not blocked) and wpad and not fold_depth:
+        # W-PADDED blocked variant for narrow crops (the train stage-2/3
+        # 128x160 / 256x320 class, where W < 384 forces the whole-row path
+        # and its taller ky): pad the OUTPUT grid to a 128 multiple (dummy
+        # coords produce zeros, sliced off below) and the SOURCE width to
+        # >= 384 zero columns so the 3-chunk windows are always legal —
+        # samples landing in the pad read zeros, which IS the out-of-FOV
+        # semantics. Trades up to 2.4x padded compute for the blocked
+        # fused kernel's short-ky MXU plan; see
+        # docs/profiles/r5 ablation rows before relying on it.
+        wg = ((w + 127) // 128) * 128
+        ws = max(384, wg)
+        img_p = jnp.pad(img, ((0, 0), (0, 0), (0, ws - w), (0, 0)))
+        coords_p = jnp.pad(
+            coords, ((0, 0), (0, 0), (0, 0), (0, wg - w), (0, 0)),
+            constant_values=-1e4)
+        if fused:
+            img_c5 = jnp.transpose(
+                img_p.reshape(b, h, ws // 128, 128, c), (0, 1, 2, 4, 3))
+        else:
+            img_c5 = jnp.transpose(img_p, (0, 1, 3, 2)).reshape(
+                b, h, c, ws // 128, 128)
+        out = _banded_blocked_fwd(img_c5, coords_p, b, h, wg, c, gy, ky,
+                                  fused, src_nj=ws // 128)
+        return out.reshape(c, b, d, h, wg)[..., :w].reshape(c, b, d, h * w)
     if blocked:
         # per-(group, 128-px block) bands: sound under epipolar tilt.
         # Gather path wants [B, H, C, W/128, 128] (minor dims fully
@@ -1186,9 +1218,9 @@ def _banded_impl(img, coords, gy, ky, fold_depth, band_budget,
 
 
 def _banded_stopgrad_fwd(img, coords, gy, ky, fold_depth, band_budget,
-                         fused=False):
+                         fused=False, wpad=False):
     out = _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget,
-                           fused)
+                           fused, wpad)
     return out, (coords, jnp.zeros((0,) + img.shape, img.dtype))
 
 
@@ -1291,7 +1323,8 @@ def banded_image_grad(ct_cm, coords, shape, dtype, gy: int = 8,
                          (0, 1, 3, 2)).astype(dtype)
 
 
-def _banded_stopgrad_bwd(gy, ky, fold_depth, band_budget, fused, res, ct):
+def _banded_stopgrad_bwd(gy, ky, fold_depth, band_budget, fused, wpad,
+                         res, ct):
     coords, ex = res
     shape, dtype = ex.shape[1:], ex.dtype
     # ct arrives C-major [C, B, D, N] — the kernel's own output layout.
@@ -1313,7 +1346,8 @@ def bilinear_sample_banded(img: Array, coords: Array, gy: int = 8,
                            ky: int = 16, fold_depth: bool = False,
                            band_budget: int = 1 << 30,
                            coord_grad: bool = False,
-                           fused: bool = False) -> Array:
+                           fused: bool = False,
+                           wpad: bool = False) -> Array:
     """Banded-matmul warp sampler (see ops/pallas/warp_band.py): full-width
     source row-bands fetched with one gather index per row-group, x-selection
     as exact bf16 one-hot matmuls on the MXU, y-lerp as fp32 masked MACs.
@@ -1333,7 +1367,7 @@ def bilinear_sample_banded(img: Array, coords: Array, gy: int = 8,
         warped = bilinear_sample(img, coords)
         return jnp.moveaxis(warped, -1, 0).reshape(-1, b, d, h * w)
     return _banded_stopgrad(img, coords, gy, ky, fold_depth, band_budget,
-                            fused)
+                            fused, wpad)
 
 
 def homography_warp_banded(
@@ -1346,6 +1380,7 @@ def homography_warp_banded(
     fold_depth: bool = False,
     band_budget: int = 1 << 30,
     fused: bool = False,
+    wpad: bool = False,
 ):
     """Plane-sweep warp through the banded-matmul sampler.
 
@@ -1358,4 +1393,4 @@ def homography_warp_banded(
     coords = jax.lax.stop_gradient(coords)
     return bilinear_sample_banded(
         src_feat, coords, gy=gy, ky=ky, fold_depth=fold_depth,
-        band_budget=band_budget, fused=fused), None
+        band_budget=band_budget, fused=fused, wpad=wpad), None

@@ -175,8 +175,17 @@ def scan_window_report(
                                                hypo, sh, sw)
                 coords = np.asarray(coords)
                 if plan.mode == "banded":
+                    cb, wb = coords, sw
+                    if plan.blocked and sw % 128:
+                        # banded_wpad plans: the grid pads to a 128
+                        # multiple with out-of-image dummies (exactly what
+                        # the compute path does)
+                        wb = ((sw + 127) // 128) * 128
+                        cb = np.pad(coords,
+                                    ((0, 0),) * 3 + ((0, wb - sw), (0, 0)),
+                                    constant_values=-1e4)
                     worst_fwd = max(worst_fwd, banded_escape_fraction(
-                        coords, sh, sw, gy=plan.gy, ky=plan.ky,
+                        cb, sh, wb, gy=plan.gy, ky=plan.ky,
                         fold=plan.fold,
                         block_w=128 if plan.blocked else 0,
                         row_group_stride=row_group_stride))

@@ -59,6 +59,24 @@ def shard_batch(mesh: Mesh, tree):
     return jax.device_put(tree, sharding)
 
 
+def host_local_mesh(mesh: Mesh) -> Mesh:
+    """This host's sub-mesh with the same axis names.
+
+    Per-host evaluation: validation sets are rank-strided and UNEVEN, so
+    hosts run different numbers of eval steps — global-mesh collectives
+    would mismatch across hosts (deadlock). Each host evaluates its slice
+    on its own devices (cv stays intact: it maps within hosts), and the
+    scalar (sum, n) pairs are allgathered once at the end
+    (train/trainer.py validate)."""
+    n_cv = mesh.shape[CV_AXIS]
+    local = [d for d in mesh.devices.flat
+             if d.process_index == jax.process_index()]
+    assert local and len(local) % n_cv == 0, (
+        f"{len(local)} local devices not divisible by cv={n_cv}")
+    arr = np.asarray(local).reshape(-1, n_cv)
+    return Mesh(arr, (DATA_AXIS, CV_AXIS))
+
+
 def data_extent_per_process(mesh: Mesh) -> int:
     """How many `data`-axis shards this process owns (= the divisibility
     requirement on a host-local batch dimension)."""

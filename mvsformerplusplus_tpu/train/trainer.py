@@ -19,6 +19,7 @@ Re-design of reference trainer/mvsformer_trainer.py + base/base_trainer.py:
 """
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import time
@@ -83,6 +84,7 @@ class Trainer:
         self.writer = ScalarWriter(self.save_dir, use_tensorboard)
         self.debug = debug
         self._window_checked: set = set()
+        self._compile_barrier_done: set = set()
         self.images = (ImageWriter(self.save_dir, tb=self.writer.tb)
                        if log_images else None)
         self._plain_step = None
@@ -103,6 +105,28 @@ class Trainer:
             self.mesh, P(None, "data") if micro else P("data"))
         return jax.jit(step, donate_argnums=(0,),
                        in_shardings=(repl, batch_sh))
+
+    def _compile_barrier(self, fn, *args):
+        """Multi-host compile barrier: AOT-compile (feeding the persistent
+        compilation cache), then sync hosts BEFORE the first execution.
+        XLA's gloo communicator rendezvous gives peers only ~30 s to show
+        up at context creation; per-host compile skew (one host hits the
+        compile cache, the other compiles for minutes) blows that window
+        and kills the job. The coordination-service barrier (600 s) absorbs
+        the skew instead; the real call then compiles near-instantly from
+        the persistent cache on every host."""
+        key = tuple(jax.tree.map(lambda x: (x.shape, str(x.dtype)),
+                                 jax.tree.leaves(args[-1]))) if args else ()
+        if key in self._compile_barrier_done:
+            return
+        self._compile_barrier_done.add(key)
+        if jax.process_count() <= 1:
+            return
+        from jax.experimental import multihost_utils
+
+        fn.lower(*args).compile()
+        multihost_utils.sync_global_devices(
+            f"compile_barrier_{len(self._compile_barrier_done)}")
 
     def _step_for(self, n_micro: int):
         if n_micro <= 1:
@@ -275,7 +299,9 @@ class Trainer:
                 if n_micro > 1:
                     batch = _split_micro(batch, n_micro)
                 batch = self._place(batch, micro=n_micro > 1)
-                state, logs = self._step_for(n_micro)(state, batch)
+                step_fn = self._step_for(n_micro)
+                self._compile_barrier(step_fn, state, batch)
+                state, logs = step_fn(state, batch)
                 n_steps += 1
                 self.global_step += 1
                 if self._preempted:
@@ -326,18 +352,34 @@ class Trainer:
         sums: Dict[str, float] = {}
         n = 0
         wrote_panel = False
-        for batch, _ in self.val_loader.epoch(0):
+        mesh = self.mesh
+        if mesh is not None and jax.process_count() > 1:
+            # HOST-LOCAL evaluation: val sets are rank-strided and uneven,
+            # so hosts run different numbers of eval steps — global-mesh
+            # collectives would mismatch across hosts (deadlock), and
+            # global-array metrics would not be host-readable. The state is
+            # replicated, so each host re-places its local copy on its own
+            # sub-mesh; the (sum, n) allgather below does the global merge.
+            from ..parallel.mesh import host_local_mesh
+
+            mesh = host_local_mesh(self.mesh)
+            state = jax.device_put(jax.device_get(state),
+                                   NamedSharding(mesh, P()))
+        mesh_ctx = (jax.sharding.set_mesh(mesh) if mesh is not None
+                    else contextlib.nullcontext())
+        with mesh_ctx:
+          for batch, _ in self.val_loader.epoch(0):
             batch = _array_batch(batch)
-            if self.mesh is not None:
+            if mesh is not None:
                 bsz = batch["imgs"].shape[0]
-                ld = data_extent_per_process(self.mesh)
+                ld = mesh.shape["data"]
                 if bsz % ld == 0:
-                    batch = self._place(batch, micro=False)
+                    batch = make_global_batch(mesh, batch, micro=False)
                 else:
                     # batch too small to data-shard (e.g. B=1 val batches):
                     # run replicated on the mesh
                     batch = jax.device_put(
-                        batch, NamedSharding(self.mesh, P()))
+                        batch, NamedSharding(mesh, P()))
             m = eval_fn(state, batch)
             if self.images is not None and not wrote_panel:
                 wrote_panel = True
@@ -364,6 +406,15 @@ class Trainer:
             # would depend on host count.
             from jax.experimental import multihost_utils
 
+            # absorb per-host eval compile/step-count skew in the
+            # coordination-service barrier (600 s) before the gloo
+            # allgather (whose context rendezvous gives peers only ~30 s)
+            multihost_utils.sync_global_devices("val_merge")
+            assert n > 0, (
+                "multi-host validation requires >= 1 val batch per host "
+                "(the metric-key vector must agree across hosts for the "
+                "allgather); give the val loader at least process_count "
+                "samples")
             keys = sorted(sums)
             vec = np.array([sums[k] for k in keys] + [float(n)], np.float32)
             all_vecs = multihost_utils.process_allgather(vec)

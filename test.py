@@ -189,7 +189,12 @@ def save_depths(args, cfg):
                     lambda r: model.init(r, imgs, cams, dv, train=False),
                     jax.random.PRNGKey(0))
                 mgr = CheckpointManager(args.ckpt)
-                tx = make_optimizer()
+                # the opt-state TEMPLATE must structurally match what
+                # training used: freeze_vit picks set_to_zero vs adamw for
+                # the vit group, grad_norm adds a clip link to the chain
+                tx = make_optimizer(
+                    freeze_vit=cfg.get_path("arch.args.freeze_vit", True),
+                    grad_clip=cfg.get_path("trainer.grad_norm"))
                 template = TrainState(
                     params=init_vars["params"],
                     batch_stats=init_vars.get("batch_stats", {}),

@@ -167,3 +167,41 @@ def test_bwd_window_escapes_at_train_geometry():
             assert esc(stage, hy, H, W, 16, 128) < 1e-9
         else:
             assert esc(stage, hy, H // sc, W // sc, 24, 0) < 1e-9
+
+
+def test_banded_wpad_window_escapes_at_train_geometry():
+    """The W-PADDED blocked plans (StageNet.banded_wpad) at the DTU TRAIN
+    crop (512x640): stage2 (128x160 -> grid 256) and stage3 (256x320 ->
+    grid 384) under the gy=2/ky=8 auto plan. The padded grid's dummy
+    columns are out-of-image (never counted); real samples must keep the
+    zero-escape guarantee of the unpadded blocked plans."""
+    from bench import make_dtu_eval_batch
+
+    from mvsformerplusplus_tpu.ops.grid_sample import banded_escape_fraction
+
+    H, W = 512, 640
+    _, cams, dvals = make_dtu_eval_batch(b=1, h=H, w=W, seed=1)
+    dv = jnp.asarray(dvals)
+
+    hypo = init_inverse_range(dv, 32, H // 8, W // 8)
+    for nd, ratio, sc, stage in ((16, 2.67, 4, "stage2"),
+                                 (8, 1.5, 2, "stage3")):
+        h, w = H // sc, W // sc
+        hypo = schedule_inverse_range(
+            hypo[:, hypo.shape[1] // 2], hypo, nd, ratio, h, w)
+        proj = compose_projection(jnp.asarray(cams[stage]))
+        wg = ((w + 127) // 128) * 128
+        for vi in range(1, proj.shape[1]):
+            coords, _ = plane_sweep_coords(proj[:, vi], proj[:, 0],
+                                           hypo, h, w)
+            cp = np.pad(np.asarray(coords),
+                        ((0, 0), (0, 0), (0, 0), (0, wg - w), (0, 0)),
+                        constant_values=-1e4)
+            esc = banded_escape_fraction(cp, h, wg, gy=2, ky=8,
+                                         block_w=128)
+            # a handful of epipolar-degenerate samples (measured 7.4e-6 at
+            # stage2 view 4) — far inside the ~0.1% class the unpadded
+            # plans also carry at eval geometry; not the zero of the
+            # unpadded TRAIN pins because the padded grid can shift a
+            # block's robust anchor
+            assert esc < 1e-4, (stage, vi, esc)

@@ -781,3 +781,31 @@ def test_persample_banded_bwd_matches_linear_transpose():
             f, jax.ShapeDtypeStruct(feat_shape, jnp.float32))(ct)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-4, atol=1e-4, err_msg=str((h, w)))
+
+
+def test_banded_wpad_matches_plain():
+    """W-PADDED blocked banded path (narrow crops W < 384: the train
+    stage-2/3 crop class). The output grid pads to a 128 multiple with
+    dummy coords and the source pads to 384 zero columns; results must be
+    bit-comparable to the exact per-sample warp on the ORIGINAL grid,
+    for both the gather and the fused-DMA formulations."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(23)
+    b, h, w, c, d = 1, 64, 160, 16, 4
+    feat = rng.randn(b, h, w, c).astype(np.float32)
+    ref_intr, ref_ext = rand_camera(rng, h, w, angle=0.0, tx=0.0)
+    src_intr, src_ext = rand_camera(rng, h, w, angle=0.12, tx=0.3)
+    ref_proj = compose(ref_intr, ref_ext)[None]
+    src_proj = compose(src_intr, src_ext)[None]
+    dv = np.linspace(2.5, 5.5, d, dtype=np.float32)[None]
+
+    from mvsformerplusplus_tpu.ops.grid_sample import homography_warp_banded
+
+    ref, _ = homography_warp(feat, src_proj, ref_proj, dv)
+    for fused in (False, True):
+        got, _ = homography_warp_banded(feat, src_proj, ref_proj, dv,
+                                        gy=2, ky=8, fused=fused, wpad=True)
+        got = np.asarray(got).reshape(c, b, d, h, w).transpose(1, 2, 3, 4, 0)
+        np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-4,
+                                   atol=1e-4, err_msg=f"fused={fused}")

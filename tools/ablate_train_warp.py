@@ -42,7 +42,7 @@ def main():
         print(f"{name:56s} {(time.time()-t0)/iters*1000:8.1f} ms",
               flush=True)
 
-    def vol_module(d, mode, gy, bky, max_c, full_range):
+    def vol_module(d, mode, gy, bky, max_c, full_range, wpad=False):
         class VolOnly(nn.Module):
             @nn.compact
             def __call__(self, f, cam, dvv):
@@ -52,6 +52,7 @@ def main():
                     xgrouped_gx=gy, banded_ky=bky,
                     banded_max_c=max_c, banded_blocked_max_c=max(max_c, 32),
                     grouped_warp_th=8, dtype=DT, full_range=full_range,
+                    banded_wpad=wpad,
                 )
                 vol, _fd = st._build_volume_impl(f, cam, dvv, False)
                 return vol
@@ -72,17 +73,21 @@ def main():
             dvals = ctr[:, None] + offs[None, :, None, None]
 
         variants = [
-            ("production", "auto_prod", 8, 16, 16),
-            ("banded gy8", "banded", 8, 16, 64),
-            ("banded gy2ky16", "banded", 2, 16, 64),
+            ("production", "auto_prod", 8, 16, 16, False),
+            ("banded gy8", "banded", 8, 16, 64, False),
+            ("banded gy2ky16", "banded", 2, 16, 64, False),
+            # W-padded BLOCKED path for the narrow train crops (pads grid
+            # to 128-multiple + src to 384; StageNet auto resolves the
+            # gy2/ky8 plan for C in (16, 32))
+            ("banded wpad/auto", "banded", 8, 16, 64, True),
         ]
-        for label, mode, gy, bky, max_c in variants:
+        for label, mode, gy, bky, max_c, wpad in variants:
             # every variant routes through warp_mode="banded"; "production"
             # only differs in the C cap (StageNet default banded_max_c=16,
             # under which wide-C stages demote to the folded gather)
             m = vol_module(d, "banded", gy, bky,
                            max_c if mode != "auto_prod" else 16,
-                           s == "stage1")
+                           s == "stage1", wpad=wpad)
             try:
                 vars_ = jax.jit(m.init)(
                     jax.random.PRNGKey(0), feats, cams[s], dvals)

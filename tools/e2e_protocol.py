@@ -230,8 +230,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/e2e_protocol")
     ap.add_argument("--epochs", type=int, default=8)
-    ap.add_argument("--flagship-epochs", type=int, default=0,
-                    help="override epochs for the flagship (0 = --epochs)")
+    ap.add_argument("--flagship-epochs", type=int, default=40,
+                    help="flagship epochs (its from-scratch transformer "
+                         "stack — CTA + FMT + SVA + ViT — converges far "
+                         "slower than the CNN baseline; the r5 run showed "
+                         "its CE loss still dropping at epoch 12)")
     ap.add_argument("--models", default="casmvs,flagship")
     ap.add_argument("--round", type=int, default=0,
                     help="also write docs/e2e_protocol_metrics_r{N}.json")

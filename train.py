@@ -8,6 +8,7 @@ sizes; a single process drives all local devices through sharded jit
 """
 import argparse
 import logging
+import os
 import sys
 from pathlib import Path
 
@@ -33,6 +34,12 @@ def main():
                         "gradients with their module (reference --debug)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() (one process per host)")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host rendezvous host:port (also honors "
+                        "JAX_COORDINATOR_ADDRESS); on TPU pods / SLURM "
+                        "leave unset for auto-detection")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args()
 
     logging.basicConfig(level=logging.INFO,
@@ -41,7 +48,18 @@ def main():
     import jax
 
     if args.distributed:
-        jax.distributed.initialize()
+        # explicit rendezvous (CLI > env > auto): TPU pods and SLURM
+        # auto-detect, but plain multi-host CPU/GPU clusters must name the
+        # coordinator (≡ the reference's MASTER_ADDR/env:// rendezvous,
+        # reference train.py:244-245)
+        coord = args.coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        nproc = args.num_processes or os.environ.get("JAX_NUM_PROCESSES")
+        pid = (args.process_id if args.process_id is not None
+               else os.environ.get("JAX_PROCESS_ID"))
+        if coord and nproc is not None and pid is not None:
+            jax.distributed.initialize(coord, int(nproc), int(pid))
+        else:
+            jax.distributed.initialize()
     import jax.numpy as jnp
 
     from mvsformerplusplus_tpu.utils.cache import enable_compilation_cache
@@ -97,22 +115,36 @@ def main():
         train_ds = make_train_ds(cfg["data_loader"][0], args.data_path)
 
     n_dev = len(jax.devices())
-    batch_size = dl_cfg.get("batch_size", 4)
+    batch_size = dl_cfg.get("batch_size", 4)  # PER-HOST (loader semantics)
+    global_batch = batch_size * jax.process_count()
     if args.mesh:
         n_data, n_cv = map(int, args.mesh.split(","))
     else:
-        # default: all devices data-parallel, but the global batch must split
-        # evenly — clamp to the largest divisor of batch_size that fits
+        # default: all devices data-parallel, but the GLOBAL batch must
+        # split evenly — clamp to the largest divisor that fits
         n_data = max(d for d in range(1, n_dev + 1)
-                     if batch_size % d == 0 and n_dev % d == 0)
+                     if global_batch % d == 0 and n_dev % d == 0)
         n_cv = 1
         if n_data < n_dev:
             logging.warning(
-                "batch_size %d not divisible by %d devices: using %d-way "
+                "global batch %d not divisible by %d devices: using %d-way "
                 "data parallelism (pass --mesh to override)",
-                batch_size, n_dev, n_data)
-    mesh = make_mesh(n_data=n_data, n_cv=n_cv,
-                     devices=jax.devices()[: n_data * n_cv])
+                global_batch, n_dev, n_data)
+    want = n_data * n_cv
+    if want < n_dev and jax.process_count() > 1:
+        # a clamped mesh must still span every process EVENLY — a plain
+        # devices[:want] prefix can land entirely on host 0, leaving other
+        # hosts with no addressable shards of the replicated state
+        pc = jax.process_count()
+        assert want % pc == 0, (
+            f"mesh of {want} devices cannot split over {pc} processes")
+        per = want // pc
+        devs = []
+        for p in range(pc):
+            devs += [d for d in jax.devices() if d.process_index == p][:per]
+    else:
+        devs = jax.devices()[:want]
+    mesh = make_mesh(n_data=n_data, n_cv=n_cv, devices=devs)
     loader = TrainLoader(
         train_ds, batch_size=batch_size, scales=msa.scales,
         scale_batch_map=msa.scale_batch_map,
