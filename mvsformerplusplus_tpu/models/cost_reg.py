@@ -262,6 +262,16 @@ class PureTransformerCostReg(nn.Module):
     use_pe_proj: bool = True
     softmax_scale: Optional[str] = "entropy_invariance"
     train_avg_length: Optional[int] = 12185
+    # residual gamma init of the attention blocks (reference FlashAttnBlock
+    # init_values, models/module.py:562-567 — plumbed there via **kwargs).
+    # 1.0 matches the reference default; NEAR-ZERO makes the post-norm
+    # stack near-identity at init so the correlation volume reaches the
+    # prob head unmixed — required when training the CTA FROM SCRATCH on
+    # few steps (the r5 e2e oracle measured the default-init CTA at
+    # chance-level stage-1 CE after 700 steps, with ~3.3x/block backward
+    # attenuation, while its INPUT volume's plain argmax was already at
+    # 11.6 mm median error).
+    init_values: float = 1.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -332,6 +342,7 @@ class PureTransformerCostReg(nn.Module):
                 mlp_ratio=self.mlp_ratio, variant="softmax",
                 softmax_scale=self.softmax_scale,
                 train_avg_length=self.train_avg_length,
+                init_values=self.init_values,
                 post_norm=True, dtype=self.dtype, name=f"block{i}",
             )(tokens)
 

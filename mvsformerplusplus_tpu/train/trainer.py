@@ -313,11 +313,17 @@ class Trainer:
                     return state
                 if i % self.logging_every == 0:
                     loss = float(logs["loss"])
-                    log.info("epoch %d step %d crop %s micro %d loss %.4f gnorm %.3f",
+                    stage_losses = {k: float(v) for k, v in logs.items()
+                                    if k.startswith("stage")}
+                    log.info("epoch %d step %d crop %s micro %d loss %.4f "
+                             "gnorm %.3f %s",
                              epoch, i, crop_hw, n_micro, loss,
-                             float(logs["grad_norm"]))
+                             float(logs["grad_norm"]),
+                             {k: round(v, 3)
+                              for k, v in stage_losses.items()})
                     self.writer.write("train", {
                         "loss": loss, "grad_norm": float(logs["grad_norm"]),
+                        **stage_losses,
                     }, self.global_step)
                     if self.debug:
                         self._report_debug(logs, epoch, i)

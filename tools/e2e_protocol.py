@@ -98,6 +98,14 @@ FLAGSHIP_ARCH = {
         "mid_channel": 64, "mlp_ratio": 4, "num_heads": 4,
         "position_encoding": True, "softmax_scale": "entropy_invariance",
         "train_avg_length": 12185, "use_pe_proj": True,
+        # FROM-SCRATCH regime: near-zero residual gammas keep the 6-layer
+        # post-norm CTA near-identity at init so the correlation signal
+        # reaches the prob head immediately (reference-exposed knob,
+        # models/module.py:562; default-init measured at chance-level
+        # stage-1 CE after 700 oracle steps while the raw volume argmax
+        # was already at 11.6 mm median — the reference never faces this
+        # because its ViT is pretrained and it trains 25k steps)
+        "init_values": 0.01,
     }],
 }
 
