@@ -163,18 +163,19 @@ def test_e2e_protocol(tmp_path, model_name):
                 pass
     # scene interval ~= 9mm. Untrained/garbage depth gives abs_depth_error
     # ~100mm and thres20mm ~0.9; casmvs after ~200 CPU steps measured abs
-    # ~22mm / thres20 ~0.16 (16-epoch calibration run) — its gates sit
+    # ~22mm / thres20 ~0.16 (16-epoch calibration run) — the gates sit
     # between the two regimes with wide margin on both sides, so they
     # catch composition bugs without flaking on training variance. The
-    # flagship's transformer stack is still mid-descent at what a CPU slow
-    # test can afford, so its gates bound the composition (clearly below
-    # untrained) rather than converged quality — the strict flagship gates
-    # live in the TPU protocol artifact (docs/e2e_protocol_metrics.json).
+    # flagship converges as fast once its CTA starts near-identity
+    # (transformer_config init_values=0.01 in FLAGSHIP_ARCH; the TPU
+    # oracle hit val mean_error 0.028 by epoch 13) — slightly wider
+    # margins cover its extra stochasticity (ViT + SVA + FMT all
+    # training from scratch).
     gates = {
         "casmvs": dict(abs=40.0, t20=0.40, t8=0.55, acc_mean=6.0,
                        acc_med=4.0, comp_med=6.0),
-        "flagship": dict(abs=70.0, t20=0.60, t8=0.75, acc_mean=10.0,
-                         acc_med=8.0, comp_med=12.0),
+        "flagship": dict(abs=45.0, t20=0.45, t8=0.60, acc_mean=7.0,
+                         acc_med=5.0, comp_med=8.0),
     }[model_name]
     assert metrics, metrics
     assert metrics["abs_depth_error"] < gates["abs"], metrics

@@ -100,14 +100,18 @@ def test_concurrent_stale_reclaim_exactly_once(tmp_path):
     tasks = ["a"]
     q0 = WorkQueue(tmp_path, tasks, worker="dead")
     assert next(iter(q0)) == "a"  # claimed, then the worker "crashes"
-    time.sleep(0.05)
+    # the dead claim must age past reclaim_stale_s; the threshold itself
+    # must be >> scheduler jitter so the WINNER's fresh claim cannot go
+    # stale before it marks done on a loaded machine (a 0.01 s threshold
+    # flaked under full-suite CPU contention — double steal)
+    time.sleep(0.7)
 
     winners = []
     barrier = threading.Barrier(8)
 
     def stealer(wid):
         q = WorkQueue(tmp_path, tasks, worker=f"s{wid}",
-                      reclaim_stale_s=0.01, poll_s=0.01)
+                      reclaim_stale_s=0.6, poll_s=0.01)
         barrier.wait()
         for t in q:
             winners.append(t)
