@@ -90,6 +90,9 @@ def main():
                else sorted(WIDEST))
     rows = []
     batch_map = {}
+    def write_table():
+        write_out(args.out, kind, rows, batch_map)
+
     for h in heights:
         w = WIDEST[h]
         for b in CANDIDATES[h]:
@@ -99,13 +102,22 @@ def main():
                 rows.append((h, w, b, "ok", r))
                 batch_map[str(h)] = b
                 print(f"  ok: {r}", flush=True)
+                write_table()  # incremental: a killed run keeps its rows
                 break
             except Exception as e:
                 msg = str(e).splitlines()[0][:110]
                 rows.append((h, w, b, f"FAIL: {msg}", None))
                 print(f"  fail: {msg}", flush=True)
                 traceback.print_exc(limit=1)
+                write_table()
 
+    write_table()
+    print("wrote", args.out, flush=True)
+    print(json.dumps(batch_map))
+    return 0
+
+
+def write_out(out, kind, rows, batch_map):
     lines = [
         "# Train-bucket feasibility (one chip)", "",
         f"Device: {kind}. Production flagship train step (frozen DINOv2-B, "
@@ -125,10 +137,7 @@ def main():
             lines.append(f"| {h}x{w} | {b} | {status} | — | — | — |")
     lines += ["", "Resulting per-chip scale_batch_map:", "",
               "```json", json.dumps(batch_map), "```", ""]
-    Path(args.out).write_text("\n".join(lines) + "\n")
-    print("wrote", args.out, flush=True)
-    print(json.dumps(batch_map))
-    return 0
+    Path(out).write_text("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":

@@ -205,8 +205,10 @@ def run_model(name: str, arch: dict, root: Path, scene, tr: Path, ev: Path,
                     "--disp_threshold", "1.0", "--num_consistent", "2",
                     "--fusion_view", "5"]),
     ]
-    for fname, extra in filters:
-        out = mroot / f"out_{fname}"
+    # One shared outdir: depth inference (the expensive TPU leg) runs once
+    # for the first filter; the rest fuse the same maps via --skip_depth.
+    out = mroot / "out"
+    for i, (fname, extra) in enumerate(filters):
         t0 = time.time()
         r = subprocess.run(
             [sys.executable, str(REPO / "test.py"),
@@ -215,7 +217,8 @@ def run_model(name: str, arch: dict, root: Path, scene, tr: Path, ev: Path,
              "--testpath", str(ev), "--testlist", str(root / "list.txt"),
              "--outdir", str(out), "--gt_depth_path", str(ev / "gt_depths"),
              "--num_view", "5", "--numdepth", "192",
-             "--max_h", str(H), "--max_w", str(W)] + extra,
+             "--max_h", str(H), "--max_w", str(W)] + extra
+            + (["--skip_depth"] if i else []),
             env=env, cwd=str(REPO))
         assert r.returncode == 0, f"test.py failed ({name}/{fname})"
         entry = {"eval_seconds": round(time.time() - t0, 1)}
