@@ -118,8 +118,15 @@ def build_data(root: Path):
     scene = GeometricScene(0, tex_res=4096)
     tr, ev = root / "train_data", root / "eval_data"
     if not (tr / "train.txt").exists():
-        print("rendering train set (512x640)...", flush=True)
-        make_geometric_dtu(tr, n_views=5, n_lights=7, h=TRAIN_H, w=TRAIN_W,
+        # Train renders at the PROTOCOL resolution, crops taken by the MS
+        # dataset — matching the reference, whose DTU-MS crops come from
+        # native 1200x1600 images (datasets/dtu_dataset_ms.py:289-318).
+        # Rendering the train set at crop size instead (the r5a version)
+        # trained every view at ~0.5x the eval pixel density and the
+        # from-scratch flagship backbone did not generalize to protocol
+        # scale (docs/e2e_protocol_metrics_r05.json fullres_attempt).
+        print(f"rendering train set ({H}x{W})...", flush=True)
+        make_geometric_dtu(tr, n_views=5, n_lights=7, h=H, w=W,
                            ndepth=32, scene=scene)
         (tr / "val.txt").write_text("scan1\n")
         print("rendering eval scan (1152x1536)...", flush=True)
@@ -170,9 +177,16 @@ def run_model(name: str, arch: dict, root: Path, scene, tr: Path, ev: Path,
             "val_data_list": str(tr / "val.txt"),
             "height": TRAIN_H, "width": TRAIN_W,
             "random_crop": True, "augment": False, "num_workers": 4,
-            "multi_scale_args": {"scales": [[TRAIN_H, TRAIN_W]],
-                                 "resize_range": [1.0, 1.0],
-                                 "scale_batch_map": {str(TRAIN_H): 2}},
+            # Three crop buckets spanning ~0.45x..~1.07x of protocol pixel
+            # density (the reference's 25-bucket spread compressed to its
+            # endpoints+midpoint; scale_batch_map per reference
+            # config/mvsformer++.json:159-169) — the density spread is what
+            # teaches the from-scratch backbone protocol-scale features.
+            "multi_scale_args": {"scales": [[TRAIN_H, TRAIN_W],
+                                            [768, 960], [1024, 1280]],
+                                 "resize_range": [1.0, 1.2],
+                                 "scale_batch_map": {str(TRAIN_H): 2,
+                                                     "768": 1, "1024": 1}},
         }}],
         # vit_lr: the oracle's tiny ViT trains FROM SCRATCH (no pretrained
         # weights exist here), so it gets the same lr as the rest
