@@ -97,15 +97,28 @@ def _kernel(top_ref, mid_ref, bot_ref, k_ref, out_ref, *, bh: int, wf: int,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
+def _pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def _footprint(bh: int, wf: int, cif: int, cof: int, ky: int) -> int:
     """Scoped-VMEM model for one program: 3 input blocks + padded concat +
     per-dy materialized tap slices + dot temps (14 input-block-sized bf16
     buffers at ky=3, matched against compile-time OOM dumps; the tap-copy
     term scales with ky) + two fp32 accumulator-sized buffers + the folded
-    weight."""
-    in_block = bh * wf * cif * 2
-    acc = bh * wf * cof * 4
-    return (5 + 3 * ky) * in_block + 2 * acc + ky * 3 * cif * cof * 2
+    weight.
+
+    Buffers are modeled at their TILE-PADDED sizes: blocks are [.., wf,
+    c] with c on lanes (pads to 128) and wf on sublanes (bf16 packs two
+    sublanes per 32-bit word -> 16-row tiles; fp32 pads to 8).  Without
+    this, a cif=64 fold (e.g. w=136 at the 768x1088 bucket's stage-1 vis
+    conv, where only f=4 gives an even folded width) doubles every real
+    buffer vs the model and Mosaic stack-OOMs at 25.7M vs the 16M scoped
+    limit while the model claims 7.6M."""
+    in_block = bh * _pad_to(wf, 16) * _pad_to(cif, 128) * 2
+    acc = bh * _pad_to(wf, 8) * _pad_to(cof, 128) * 4
+    return ((5 + 3 * ky) * in_block + 2 * acc
+            + ky * 3 * _pad_to(cif, 16) * _pad_to(cof, 128) * 2)
 
 
 def _bh_for(h: int, wf: int, cif: int, cof: int, ky: int,

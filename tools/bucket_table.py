@@ -34,8 +34,13 @@ import numpy as np
 # widest bucket per height class (configs/mvsformerplusplus.json scales)
 WIDEST = {512: 768, 576: 832, 640: 960, 704: 1024, 768: 1088, 832: 1152,
           896: 1280, 960: 1344, 1024: 1280}
-# candidates: start from the reference's map (4 below 768, 2 above)
-CANDIDATES = {h: ([4, 2, 1] if h <= 704 else [2, 1]) for h in WIDEST}
+# candidates: the reference's map starts at 4 below 768-high crops, 2
+# above.  On one v5e, B=4 at the SMALLEST class's widest bucket already
+# exceeds HBM (512x768 B=4: 18.85G of 15.75G, /tmp/bucket_table.log
+# r5) — activation memory grows monotonically in H*W, so B=4 is ruled
+# out a fortiori for every larger class and we only document that
+# failure once, at 512.
+CANDIDATES = {h: ([4, 2, 1] if h == 512 else [2, 1]) for h in WIDEST}
 
 
 def try_bucket(jax, jnp, h: int, w: int, b: int):
@@ -59,7 +64,10 @@ def try_bucket(jax, jnp, h: int, w: int, b: int):
     compile_s = time.time() - t0
     state, logs = compiled(state, jb)
     jax.block_until_ready(logs["loss"])
-    iters = 3
+    # >=10 full-step iterations: shorter wall-clock timings through the
+    # axon relay are fiction (docs/ROADMAP.md gotchas; the 3-iter version
+    # of this tool reported 0.012 s/step for a 0.5 s step).
+    iters = 10
     t0 = time.time()
     for _ in range(iters):
         state, logs = compiled(state, jb)
