@@ -60,6 +60,7 @@ class Trainer:
                  save_dir="saved", epochs: int = 15, tx=None,
                  loss_kwargs: Optional[dict] = None,
                  scale_batch_map: Optional[Dict[str, int]] = None,
+                 remat_map: Optional[Dict[str, str]] = None,
                  monitor: str = "min mean_error", early_stop: int = 10,
                  logging_every: int = 100, config: Optional[dict] = None,
                  mesh=None, use_tensorboard: bool = False,
@@ -73,6 +74,15 @@ class Trainer:
             total_steps=epochs * max(1, train_loader.steps_per_epoch()))
         self.loss_kwargs = loss_kwargs or {}
         self.scale_batch_map = scale_batch_map or {}
+        # crop-height-class -> remat granularity override ("stage" /
+        # "cost_reg").  The memory knob ORTHOGONAL to scale_batch_map:
+        # once micro-batch hits 1 the reference has nothing left, but a
+        # TPU-side jax.checkpoint granularity swap trades replayed
+        # volume-build FLOPs for activation memory so the largest crop
+        # buckets (1024x1280 misses one v5e's HBM by 242M at B=1 under
+        # cost_reg remat) still fit.  Buckets not in the map keep the
+        # model's own granularity.
+        self.remat_map = remat_map or {}
         self.monitor_mode, self.monitor_key = monitor.split()
         self.early_stop = early_stop
         self.logging_every = logging_every
@@ -87,8 +97,7 @@ class Trainer:
         self._compile_barrier_done: set = set()
         self.images = (ImageWriter(self.save_dir, tb=self.writer.tb)
                        if log_images else None)
-        self._plain_step = None
-        self._accum_steps: Dict[int, Any] = {}
+        self._accum_steps: Dict[Any, Any] = {}  # (n_micro, remat) -> jitted step
         self._eval_fn = None
         self.interval_norm = interval_norm
         self.global_step = 0
@@ -128,19 +137,30 @@ class Trainer:
         multihost_utils.sync_global_devices(
             f"compile_barrier_{len(self._compile_barrier_done)}")
 
-    def _step_for(self, n_micro: int):
+    def _model_for(self, crop_h) -> Any:
+        """The step's model: identical math, remat granularity possibly
+        overridden for this crop-height class (see remat_map)."""
+        gran = self.remat_map.get(str(crop_h)) if crop_h else None
+        if not gran or getattr(self.model, "remat_granularity", gran) == gran:
+            return self.model
+        return self.model.clone(remat_granularity=gran)
+
+    def _step_for(self, n_micro: int, crop_h=None):
+        gran = self.remat_map.get(str(crop_h), "") if crop_h else ""
+        key = (n_micro, gran)
         if n_micro <= 1:
-            if self._plain_step is None:
-                step = make_train_step(self.model, self.tx,
+            key = (1, gran)
+        if key not in self._accum_steps:
+            model = self._model_for(crop_h)
+            if n_micro <= 1:
+                step = make_train_step(model, self.tx,
                                        debug=self.debug, **self.loss_kwargs)
-                self._plain_step = self._jit_step(step, micro=False)
-            return self._plain_step
-        if n_micro not in self._accum_steps:
-            step = make_accum_train_step(self.model, self.tx, n_micro,
-                                         debug=self.debug,
-                                         **self.loss_kwargs)
-            self._accum_steps[n_micro] = self._jit_step(step, micro=True)
-        return self._accum_steps[n_micro]
+            else:
+                step = make_accum_train_step(model, self.tx, n_micro,
+                                             debug=self.debug,
+                                             **self.loss_kwargs)
+            self._accum_steps[key] = self._jit_step(step, micro=n_micro > 1)
+        return self._accum_steps[key]
 
     def _micro_count(self, crop_hw, batch_size: int) -> int:
         micro = self.scale_batch_map.get(str(crop_hw[0]))
@@ -299,7 +319,7 @@ class Trainer:
                 if n_micro > 1:
                     batch = _split_micro(batch, n_micro)
                 batch = self._place(batch, micro=n_micro > 1)
-                step_fn = self._step_for(n_micro)
+                step_fn = self._step_for(n_micro, crop_hw[0])
                 self._compile_barrier(step_fn, state, batch)
                 state, logs = step_fn(state, batch)
                 n_steps += 1

@@ -43,7 +43,7 @@ WIDEST = {512: 768, 576: 832, 640: 960, 704: 1024, 768: 1088, 832: 1152,
 CANDIDATES = {h: ([4, 2, 1] if h == 512 else [2, 1]) for h in WIDEST}
 
 
-def try_bucket(jax, jnp, h: int, w: int, b: int):
+def try_bucket(jax, jnp, h: int, w: int, b: int, remat: str = "cost_reg"):
     from bench import make_train_batch
     from mvsformerplusplus_tpu.models.mvsformer import DINOv2MVSNet
     from mvsformerplusplus_tpu.train.optim import make_optimizer
@@ -51,7 +51,7 @@ def try_bucket(jax, jnp, h: int, w: int, b: int):
 
     batch = make_train_batch(b=b, h=h, w=w)
     model = DINOv2MVSNet(dtype=jnp.bfloat16, remat_stages=True,
-                         remat_granularity="cost_reg")
+                         remat_granularity=remat)
     tx = make_optimizer(total_steps=10000, warmup_steps=500, freeze_vit=True)
     jb = jax.tree.map(jnp.asarray, batch)
     variables = jax.jit(
@@ -64,14 +64,16 @@ def try_bucket(jax, jnp, h: int, w: int, b: int):
     compile_s = time.time() - t0
     state, logs = compiled(state, jb)
     jax.block_until_ready(logs["loss"])
-    # >=10 full-step iterations: shorter wall-clock timings through the
-    # axon relay are fiction (docs/ROADMAP.md gotchas; the 3-iter version
-    # of this tool reported 0.012 s/step for a 0.5 s step).
+    # Force a HOST transfer of the loss every iteration: through the axon
+    # relay, block_until_ready on a device scalar returns early (both the
+    # 3-iter and 10-iter block_until_ready forms of this loop reported
+    # 0.012-0.014 s/step for steps bench.py measures at ~0.5 s), but a
+    # float() readback cannot complete before the step that produced it.
     iters = 10
     t0 = time.time()
     for _ in range(iters):
         state, logs = compiled(state, jb)
-    jax.block_until_ready(logs["loss"])
+        float(logs["loss"])
     dt = (time.time() - t0) / iters
     finite = bool(np.isfinite(float(logs["loss"])))
     del state, compiled, variables, jb
@@ -103,18 +105,28 @@ def main():
 
     for h in heights:
         w = WIDEST[h]
-        for b in CANDIDATES[h]:
-            print(f"trying {h}x{w} B={b}...", flush=True)
+        # remat fallback AFTER all plain batch sizes: cost_reg granularity
+        # is the measured-right default (stage granularity replays the
+        # volume build, docs/profiles/r4_train_arc.txt), so a class only
+        # escalates to remat=stage once even micro-batch 1 misses HBM
+        # (1024x1280 B=1: 15.98G of 15.75G).  The winning (B, remat) pair
+        # is what configs/ documents via scale_batch_map + remat_map.
+        tries = ([(b, "cost_reg") for b in CANDIDATES[h]]
+                 + [(b, "stage") for b in CANDIDATES[h] if b < 4])
+        for b, remat in tries:
+            label = b if remat == "cost_reg" else f"{b} (remat=stage)"
+            print(f"trying {h}x{w} B={b} remat={remat}...", flush=True)
             try:
-                r = try_bucket(jax, jnp, h, w, b)
-                rows.append((h, w, b, "ok", r))
-                batch_map[str(h)] = b
+                r = try_bucket(jax, jnp, h, w, b, remat)
+                rows.append((h, w, label, "ok", r))
+                batch_map[str(h)] = (b if remat == "cost_reg"
+                                     else {"batch": b, "remat": remat})
                 print(f"  ok: {r}", flush=True)
                 write_table()  # incremental: a killed run keeps its rows
                 break
             except Exception as e:
                 msg = str(e).splitlines()[0][:110]
-                rows.append((h, w, b, f"FAIL: {msg}", None))
+                rows.append((h, w, label, f"FAIL: {msg}", None))
                 print(f"  fail: {msg}", flush=True)
                 traceback.print_exc(limit=1)
                 write_table()

@@ -195,7 +195,13 @@ def run_model(name: str, arch: dict, root: Path, scene, tr: Path, ev: Path,
                                "min_lr": 0.05, "weight_decay": 0.01}},
         "trainer": {"epochs": epochs, "save_dir": str(mroot / "saved"),
                     "logging_every": 10, "monitor": "min mean_error",
-                    "early_stop": 100},
+                    "early_stop": 100,
+                    # 1024x1280 misses one v5e's HBM by 242M at B=1 under
+                    # cost_reg remat at PRODUCTION backbone scale
+                    # (docs/bucket_table.md); the oracle's tiny ViT is
+                    # smaller but the margin is thin — route the largest
+                    # bucket through stage-granularity remat
+                    "remat_map": {"1024": "stage"}},
     }
     (mroot / "cfg.json").write_text(json.dumps(cfg))
 

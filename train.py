@@ -208,6 +208,10 @@ def main():
             clip_func=loss_cfg.get("clip_func", "dynamic"),
         ),
         scale_batch_map=msa.scale_batch_map,
+        # {"1024": "stage", ...}: crop-height classes whose train step
+        # compiles with a coarser jax.checkpoint granularity — the memory
+        # lever past micro-batch 1 (docs/bucket_table.md)
+        remat_map=cfg["trainer"].get("remat_map", {}),
         monitor=cfg["trainer"].get("monitor", "min mean_error"),
         early_stop=cfg["trainer"].get("early_stop", 10),
         logging_every=cfg["trainer"].get("logging_every", 100),
